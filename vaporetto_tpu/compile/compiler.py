@@ -1,0 +1,334 @@
+"""Model -> device-table compiler.
+
+Host-side analogue of the reference's ``Predictor::new`` scorer construction
+(predictor.rs:450-508, char_scorer/boundary_scorer.rs:55-89,
+type_scorer.rs:103-144): merges weights (suffix propagation), builds the
+double-array tries over projected symbols, and packs positional weights into
+fixed-8 rows ready for the gather/scatter scoring kernels.
+
+Output is a :class:`CompiledModel` of plain numpy arrays — the AOT
+"compiled model" artifact (the analogue of the reference's zero-copy
+predictor blob, predictor.rs:639-664): it can be serialized and later
+uploaded straight to HBM without re-running this compiler.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Dict, List, Optional, Tuple
+
+import numpy as np
+
+from ..errors import invalid_model
+from ..models.model import Model
+from .merger import PositionalWeight, PositionalWeightWithTag, WeightMerger
+from .trie import DoubleArrayTrie, build_trie
+
+__all__ = ["CompiledModel", "CompiledMatcher", "compile_model",
+           "CACHE_MAX_WINDOW_SIZE"]
+
+# reference type_scorer.rs:34-35
+CACHE_MAX_WINDOW_SIZE = 3
+
+WEIGHT_FIXED_LEN = 8  # reference predictor.rs:32
+MAX_CODEPOINT = 0x110000
+
+
+@dataclasses.dataclass
+class CompiledMatcher:
+    """One matcher+scorer side (char or type)."""
+
+    base: np.ndarray
+    check: np.ndarray
+    value: np.ndarray
+    max_len: int
+    rows_first: np.ndarray  # (n_ids,) int32
+    rows_cnt: np.ndarray  # (n_ids,) int32
+    w8: np.ndarray  # (n_rows, 8) int32
+    off: np.ndarray  # (n_rows,) int32
+    max_chunks: int
+    # tag side: [token_id][rel_position] -> {merged_pattern_id: weights}
+    tag_weight: Optional[List[List[Dict[int, List[int]]]]] = None
+
+
+@dataclasses.dataclass
+class CompiledTagMeta:
+    """Per-token tag predictor data (reference predictor.rs:264-304)."""
+
+    token_ids: Dict[str, int]
+    tags: List[List[List[str]]]  # [token_id][slot] -> candidates
+    bias: List[List[int]]  # [token_id] -> class-concatenated bias
+
+
+@dataclasses.dataclass
+class CompiledModel:
+    bias: int
+    char_window_size: int
+    type_window_size: int
+    pad_left: int
+    pad_right: int
+    char_sym_table: Optional[np.ndarray]  # int32[MAX_CODEPOINT] or None
+    char_matcher: Optional[CompiledMatcher]
+    type_matcher: Optional[CompiledMatcher]
+    type_cache_table: Optional[np.ndarray]  # int32[8**(2w)] or None
+    tag_meta: Optional[CompiledTagMeta]
+    n_tags: int
+
+
+def _pack_weight_rows(
+    weights: List[Optional[PositionalWeight]],
+) -> Tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray, int]:
+    """Split merged positional weights into 8-wide chunks.
+
+    Weights of length <= 8 become one zero-padded row — exactly the
+    reference's ``WeightVector::Fixed`` (predictor.rs:118-135); longer
+    (rare: long dictionary words) become several rows with offsets stepped
+    by 8, reproducing ``WeightVector::Variable`` adds.
+    """
+    rows_first = np.zeros(len(weights), dtype=np.int32)
+    rows_cnt = np.zeros(len(weights), dtype=np.int32)
+    w8_rows: List[List[int]] = []
+    off_rows: List[int] = []
+    for i, pw in enumerate(weights):
+        rows_first[i] = len(w8_rows)
+        if pw is None or not pw.weight:
+            rows_cnt[i] = 0
+            continue
+        w = pw.weight
+        n_chunks = (len(w) + WEIGHT_FIXED_LEN - 1) // WEIGHT_FIXED_LEN
+        rows_cnt[i] = n_chunks
+        for c in range(n_chunks):
+            chunk = w[c * 8 : c * 8 + 8]
+            chunk = chunk + [0] * (8 - len(chunk))
+            w8_rows.append(chunk)
+            off_rows.append(pw.offset + 8 * c)
+    if not w8_rows:
+        w8_rows = [[0] * 8]
+        off_rows = [0]
+    w8 = np.array(w8_rows, dtype=np.int64)
+    if (w8 > 2**31 - 1).any() or (w8 < -(2**31)).any():
+        raise invalid_model("weight overflow during merge")
+    return (
+        rows_first,
+        rows_cnt,
+        w8.astype(np.int32),
+        np.array(off_rows, dtype=np.int32),
+        int(rows_cnt.max()) if len(rows_cnt) else 0,
+    )
+
+
+def _build_matcher(
+    merged: List[Tuple[Tuple[int, ...], object]],
+    n_symbols: int,
+    with_tags: bool,
+    n_tag_models: int,
+    window_size: int,
+) -> CompiledMatcher:
+    patterns = [key for key, _ in merged]
+    trie = build_trie(patterns, n_symbols)
+    if with_tags:
+        weights = []
+        tag_weight: List[List[Dict[int, List[int]]]] = [
+            [dict() for _ in range(window_size + 1)] for _ in range(n_tag_models)
+        ]
+        for i, (_, pwt) in enumerate(merged):
+            weights.append(pwt.weight)
+            for (token_id, rel_position), w in pwt.tag_info.items():
+                tag_weight[token_id][rel_position][i] = list(w)
+    else:
+        weights = [pw for _, pw in merged]
+        tag_weight = None
+    rows_first, rows_cnt, w8, off, max_chunks = _pack_weight_rows(weights)
+    return CompiledMatcher(
+        base=trie.base,
+        check=trie.check,
+        value=trie.value,
+        max_len=trie.max_len,
+        rows_first=rows_first,
+        rows_cnt=rows_cnt,
+        w8=w8,
+        off=off,
+        max_chunks=max_chunks,
+        tag_weight=tag_weight,
+    )
+
+
+def _build_type_cache_table(
+    ngrams: List[Tuple[Tuple[int, ...], List[int]]], window_size: int
+) -> np.ndarray:
+    """Precompute total score per type-window id.
+
+    Reference type_scorer/boundary_scorer_cache.rs:21-56: enumerate all
+    8^(2w) windows, sum the weights of every n-gram occurrence. Here the
+    enumeration is vectorized: for each n-gram and each end-position inside
+    the window, add its weight to all matching window ids via strided
+    reshapes.
+    """
+    seq_size = 2 * window_size
+    n_windows = 8**seq_size
+    scores = np.zeros(n_windows, dtype=np.int64)
+    # decompose every window id into symbols once: sym k (from left, 0-based)
+    ids = np.arange(n_windows, dtype=np.int64)
+    syms = np.empty((seq_size, n_windows), dtype=np.int8)
+    for k in range(seq_size):
+        syms[k] = (ids >> (3 * (seq_size - 1 - k))) & 7
+    valid = np.ones(n_windows, dtype=bool)
+    for k in range(seq_size):
+        valid &= syms[k] != 7  # seqid_to_seq rejects symbol 7
+    for ngram, weights in ngrams:
+        gl = len(ngram)
+        for end in range(gl, seq_size + 1):
+            # occurrence filling window positions [end-gl, end)
+            w_idx = seq_size - end  # weights[seq_size - m.end()]
+            if w_idx >= len(weights):
+                continue
+            hit = valid.copy()
+            for j, a in enumerate(ngram):
+                hit &= syms[end - gl + j] == a
+            scores[hit] += weights[w_idx]
+    scores[~valid] = 0
+    if (np.abs(scores) > 2**31 - 1).any():
+        raise invalid_model("type cache score overflow")
+    return scores.astype(np.int32)
+
+
+def compile_model(model: Model, predict_tags: bool = False) -> CompiledModel:
+    """Compile a :class:`Model` into dense device tables.
+
+    Follows the variant dispatch of the reference (char_scorer.rs:92-124,
+    type_scorer.rs:103-144): the type side uses the precomputed cache table
+    when ``window <= 3`` and no tag models exist, else the trie matcher.
+    """
+    n_tag_models = len(model.tag_models) if predict_tags else 0
+    with_tags = predict_tags and n_tag_models > 0
+
+    # ------------------------------------------------------------------ char
+    char_matcher = None
+    char_sym_table = None
+    use_char = (
+        (model.char_ngram_model or model.dict_model)
+        and model.char_window_size > 0
+    )
+    if use_char:
+        merger = WeightMerger()
+        for d in model.char_ngram_model:
+            key = tuple(ord(c) for c in d.ngram)
+            pw = PositionalWeight(-model.char_window_size, d.weights)
+            merger.add(key, PositionalWeightWithTag(pw) if with_tags else pw)
+        for rec in model.dict_model:
+            word_len = len(rec.word)
+            if word_len > 32767:
+                raise invalid_model(
+                    "words must be shorter than or equal to 32767 characters"
+                )
+            key = tuple(ord(c) for c in rec.word)
+            pw = PositionalWeight(-word_len, rec.weights)
+            merger.add(key, PositionalWeightWithTag(pw) if with_tags else pw)
+        if with_tags:
+            for i, tm in enumerate(model.tag_models):
+                for d in tm.char_ngram_model:
+                    key = tuple(ord(c) for c in d.ngram)
+                    for tw in d.weights:
+                        merger.add(
+                            key,
+                            PositionalWeightWithTag.with_tag(
+                                i, tw.rel_position, tw.weights
+                            ),
+                        )
+        merged = merger.merge()
+        # symbol projection: codepoint -> dense id; OOV -> 0
+        cps = sorted({cp for key, _ in merged for cp in key})
+        sym_of = {cp: i + 1 for i, cp in enumerate(cps)}
+        char_sym_table = np.zeros(MAX_CODEPOINT, dtype=np.int32)
+        for cp, sym in sym_of.items():
+            char_sym_table[cp] = sym
+        merged_proj = [
+            (tuple(sym_of[cp] for cp in key), w) for key, w in merged
+        ]
+        char_matcher = _build_matcher(
+            merged_proj, len(cps), with_tags, n_tag_models,
+            model.char_window_size,
+        )
+
+    # ------------------------------------------------------------------ type
+    type_matcher = None
+    type_cache_table = None
+    use_type = model.type_ngram_model and model.type_window_size > 0
+    if use_type:
+        if not with_tags and model.type_window_size <= CACHE_MAX_WINDOW_SIZE:
+            # cache variant: merge duplicates only (no suffix merge needed,
+            # the table enumerates raw overlapping occurrences)
+            ngrams: List[Tuple[Tuple[int, ...], List[int]]] = []
+            seen: Dict[Tuple[int, ...], int] = {}
+            for d in model.type_ngram_model:
+                key = tuple(bytes(d.ngram))
+                if key in seen:
+                    w = ngrams[seen[key]][1]
+                    for i, x in enumerate(d.weights):
+                        if i < len(w):
+                            w[i] += x
+                        else:
+                            w.append(x)
+                else:
+                    seen[key] = len(ngrams)
+                    ngrams.append((key, list(d.weights)))
+            type_cache_table = _build_type_cache_table(
+                ngrams, model.type_window_size
+            )
+        else:
+            merger = WeightMerger()
+            for d in model.type_ngram_model:
+                key = tuple(bytes(d.ngram))
+                pw = PositionalWeight(-model.type_window_size, d.weights)
+                merger.add(key, PositionalWeightWithTag(pw) if with_tags else pw)
+            if with_tags:
+                for i, tm in enumerate(model.tag_models):
+                    for d in tm.type_ngram_model:
+                        key = tuple(bytes(d.ngram))
+                        for tw in d.weights:
+                            merger.add(
+                                key,
+                                PositionalWeightWithTag.with_tag(
+                                    i, tw.rel_position, tw.weights
+                                ),
+                            )
+            merged = merger.merge()
+            type_matcher = _build_matcher(
+                merged, 6, with_tags, n_tag_models, model.type_window_size
+            )
+
+    # ------------------------------------------------------------------ tags
+    tag_meta = None
+    n_tags = 0
+    if predict_tags:
+        token_ids: Dict[str, int] = {}
+        tags_list: List[List[List[str]]] = []
+        bias_list: List[List[int]] = []
+        for i, tm in enumerate(model.tag_models):
+            n_tags = max(n_tags, len(tm.tags))
+            token_ids[tm.token] = i
+            tags_list.append([list(c) for c in tm.tags])
+            bias_list.append(list(tm.bias))
+        tag_meta = CompiledTagMeta(token_ids, tags_list, bias_list)
+
+    # ------------------------------------------------------------------ pads
+    pad_left = WEIGHT_FIXED_LEN - 1
+    pad_right = WEIGHT_FIXED_LEN
+    for m in (char_matcher, type_matcher):
+        if m is not None and len(m.off):
+            pad_left = max(pad_left, int(-m.off.min()))
+            pad_right = max(pad_right, int(m.off.max()) + 8)
+
+    return CompiledModel(
+        bias=model.bias,
+        char_window_size=model.char_window_size,
+        type_window_size=model.type_window_size,
+        pad_left=pad_left,
+        pad_right=pad_right,
+        char_sym_table=char_sym_table,
+        char_matcher=char_matcher,
+        type_matcher=type_matcher,
+        type_cache_table=type_cache_table,
+        tag_meta=tag_meta,
+        n_tags=n_tags,
+    )

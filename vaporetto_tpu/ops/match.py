@@ -1,0 +1,51 @@
+"""Device-side longest-match pattern matching.
+
+Replaces the reference's sequential Aho-Corasick scan
+(char_scorer/boundary_scorer.rs:91-113) with a parallel windowed trie walk:
+for window length k = 1..max_len, every text position advances its
+double-array trie node by one symbol, vectorized over (batch, position).
+No recurrence over positions — the loop bound is the (static) maximum
+pattern length, so XLA sees a short unrolled chain of gathers.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+__all__ = ["match_longest"]
+
+
+def match_longest(
+    syms: jax.Array,  # (B, L) int32 projected symbols; 0 = OOV / padding
+    base: jax.Array,  # (n_slots,) int32
+    check: jax.Array,  # (n_slots,) int32
+    value: jax.Array,  # (n_slots,) int32 pattern id or -1
+    max_len: int,
+) -> jax.Array:
+    """Return (B, L) int32: longest pattern id ending at each position, -1 if none.
+
+    Equivalent to the reference's ``find_overlapping_no_suffix_iter`` match
+    stream: at most one (the longest) pattern per end position.
+    """
+    B, L = syms.shape
+    match = jnp.full((B, L), -1, dtype=jnp.int32)
+    node = jnp.zeros((B, L), dtype=jnp.int32)  # window length 0 -> root
+    n_slots = base.shape[0]
+    sym_ok = syms > 0
+    for k in range(1, max_len + 1):
+        if k == 1:
+            prev = node  # empty window ends everywhere, incl. position 0
+        else:
+            prev = jnp.pad(node[:, :-1], ((0, 0), (1, 0)), constant_values=-1)
+        alive = prev >= 0
+        safe_prev = jnp.where(alive, prev, 0)
+        cand = base[safe_prev] + syms
+        # guard region in the tables makes cand in-bounds for valid nodes;
+        # clip for dead lanes
+        cand = jnp.clip(cand, 0, n_slots - 1)
+        ok = alive & sym_ok & (check[cand] == safe_prev)
+        node = jnp.where(ok, cand, -1)
+        val = value[jnp.where(ok, cand, 0)]
+        match = jnp.where(ok & (val >= 0), val, match)
+    return match

@@ -1,0 +1,99 @@
+"""Device-side boundary scoring.
+
+The reference's per-match scatter loops (predictor.rs:176-213, fixed 8-lane
+adds) become one batched gather + scatter-add: every text position gathers
+its matched pattern's (offset, weights[8*MAXC]) rows and accumulates them
+into the padded per-gap score buffer. All arithmetic is int32, matching the
+reference exactly (wrapping add semantics included).
+
+Padding scheme: the reference pads scores by ``WEIGHT_FIXED_LEN-1 = 7`` on
+both sides so fixed-8 adds never go out of bounds (predictor.rs:519-524),
+and clips variable-length adds at the left edge (predictor.rs:181-190). We
+instead size the padding from the model (max |offset| and max row reach) so
+*every* add is in bounds; out-of-sentence contributions land in the padding
+and are discarded — numerically identical to the reference's clipping.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+__all__ = ["scatter_add_scores", "type_cache_scores"]
+
+
+def scatter_add_scores(
+    match: jax.Array,  # (B, L) int32 pattern id or -1
+    rows_first: jax.Array,  # (n_ids,) int32 first weight-row of each id
+    rows_cnt: jax.Array,  # (n_ids,) int32 number of 8-wide rows
+    w8: jax.Array,  # (n_rows, 8) int32 weight chunks
+    off: jax.Array,  # (n_rows,) int32 chunk offset relative to match end gap
+    scores: jax.Array,  # (B, S) int32 padded score buffer (bias-initialized)
+    pad_left: int,
+    max_chunks: int,
+) -> jax.Array:
+    """Accumulate matched weights: scores[b, t + pad_left + off + j] += w8[.., j].
+
+    ``t + pad_left + off`` derives from the reference's
+    ``end + score_padding - 1 + offset`` with ``end = t+1``
+    (char_scorer/boundary_scorer.rs:108-111).
+    """
+    B, L = match.shape
+    S = scores.shape[1]
+    valid_m = match >= 0
+    safe_m = jnp.where(valid_m, match, 0)
+    first = rows_first[safe_m]
+    cnt = rows_cnt[safe_m]
+    t_idx = jax.lax.broadcasted_iota(jnp.int32, (B, L), 1)
+    iota8 = jnp.arange(8, dtype=jnp.int32)
+    b_idx = jax.lax.broadcasted_iota(jnp.int32, (B, L, 8), 0)
+    for c in range(max_chunks):
+        valid = valid_m & (c < cnt)
+        row = jnp.where(valid, first + c, 0)
+        w = jnp.where(valid[..., None], w8[row], 0)
+        pos = jnp.where(valid, t_idx + pad_left + off[row], 0)  # (B, L)
+        idx = pos[..., None] + iota8  # (B, L, 8); in-bounds by construction
+        scores = scores.at[b_idx, idx].add(w)
+    return scores
+
+
+def type_cache_scores(
+    char_types: jax.Array,  # (B, L) int32 type codes 1..6, 0 = padding
+    lengths: jax.Array,  # (B,) int32 true sentence lengths
+    table: jax.Array,  # (8**(2w),) int32 precomputed window scores
+    window_size: int,
+    scores: jax.Array,  # (B, S) int32 padded score buffer
+    pad_left: int,
+) -> jax.Array:
+    """Type scoring via the precomputed window table.
+
+    Mirrors the rolling 3-bit sequence-id scan of the reference
+    (type_scorer/boundary_scorer_cache.rs:58-110) but computes every gap's
+    sequence id directly (it only depends on the 2w surrounding chars), so
+    the whole pass is a shift/or reduction plus one gather — no recurrence.
+
+    Gap i (between chars i and i+1) sees chars ``i-w+1 .. i+w``; positions
+    outside the sentence contribute symbol 0, exactly like
+    ``increment_seqid_without_char``.
+    """
+    B, L = char_types.shape
+    w = window_size
+    t_idx = jax.lax.broadcasted_iota(jnp.int32, (B, L), 1)
+    ct = jnp.where(t_idx < lengths[:, None], char_types.astype(jnp.int32), 0)
+    seqid = jnp.zeros((B, L), dtype=jnp.int32)
+    for k in range(2 * w):
+        shift = k - (w - 1)  # char index j = gap index i + shift
+        if shift <= 0:
+            sl = jnp.pad(
+                ct[:, : L + shift] if shift < 0 else ct,
+                ((0, 0), (-shift, 0)),
+                constant_values=0,
+            )
+        else:
+            sl = jnp.pad(ct[:, shift:], ((0, 0), (0, shift)), constant_values=0)
+        seqid = (seqid << 3) | sl
+    gap_scores = table[seqid]  # (B, L)
+    gap_ok = t_idx < (lengths[:, None] - 1)
+    gap_scores = jnp.where(gap_ok, gap_scores, 0)
+    # pad_right >= 1 is guaranteed by the compiler, so this slice is in bounds
+    return scores.at[:, pad_left : pad_left + L].add(gap_scores)

@@ -1,0 +1,291 @@
+"""Predictor — the inference runtime.
+
+TPU-native counterpart of the reference predictor (predictor.rs:433-664).
+The hot path is a single jitted function over padded ``(B, L)`` batches:
+
+    project codepoints -> symbols        (gather)
+    char trie windowed match             (max_len x 3 gathers)
+    char weight gather + scatter-add     (int32)
+    type cache gather OR type trie match (+ scatter-add)
+    threshold > 0 -> boundaries
+
+Integer semantics (i32, wrapping) match the reference exactly; the
+conformance tests assert identical ``--scores`` output.
+
+Tag prediction (predictor.rs:546-637) consumes the cached per-position
+match-id tensors (the analogue of ``char_pma_states``/``type_pma_states``)
+host-side per recognized token.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from .compile.compiler import CompiledModel, compile_model
+from .models.model import Model
+from .sentence import Sentence
+from .utils.batch import bucket_length, tensorize
+
+__all__ = ["Predictor"]
+
+
+class Predictor:
+    """Compiles a model at load time and runs boundary + tag inference."""
+
+    def __init__(self, model: Model, predict_tags: bool = False,
+                 compiled: Optional[CompiledModel] = None):
+        self.compiled = compiled if compiled is not None else compile_model(
+            model, predict_tags
+        )
+        self.predict_tags_enabled = predict_tags
+        self._store_tag_scores = False
+        self._device_tables = None
+        self._jit_cache: Dict[Tuple[int, int], object] = {}
+
+    # ------------------------------------------------------------------
+    # device plumbing
+    # ------------------------------------------------------------------
+
+    def _tables(self):
+        if self._device_tables is None:
+            import jax.numpy as jnp
+
+            c = self.compiled
+            t = {}
+            if c.char_matcher is not None:
+                m = c.char_matcher
+                t["char_sym"] = jnp.asarray(c.char_sym_table)
+                t["char"] = tuple(
+                    jnp.asarray(x)
+                    for x in (m.base, m.check, m.value, m.rows_first,
+                              m.rows_cnt, m.w8, m.off)
+                )
+            if c.type_matcher is not None:
+                m = c.type_matcher
+                t["type"] = tuple(
+                    jnp.asarray(x)
+                    for x in (m.base, m.check, m.value, m.rows_first,
+                              m.rows_cnt, m.w8, m.off)
+                )
+            if c.type_cache_table is not None:
+                t["type_cache"] = jnp.asarray(c.type_cache_table)
+            self._device_tables = t
+        return self._device_tables
+
+    def _predict_fn(self, B: int, L: int):
+        key = (B, L)
+        fn = self._jit_cache.get(key)
+        if fn is None:
+            fn = _build_predict_fn(self.compiled, self._tables())
+            self._jit_cache[key] = fn
+        return fn
+
+    # ------------------------------------------------------------------
+    # prediction
+    # ------------------------------------------------------------------
+
+    def predict(self, sentence: Sentence) -> None:
+        """Predict word boundaries of the given sentence in place."""
+        self.predict_batch([sentence])
+
+    def predict_batch(self, sentences: Sequence[Sentence]) -> None:
+        """Predict boundaries for a batch of sentences in place."""
+        if not sentences:
+            return
+        cps, cts, lengths = tensorize(sentences)
+        B, L = cps.shape
+        fn = self._predict_fn(B, L)
+        scores, char_match, type_match = fn(cps, cts, lengths)
+        scores = np.asarray(scores)
+        char_match = np.asarray(char_match) if char_match is not None else None
+        type_match = np.asarray(type_match) if type_match is not None else None
+        pad = self.compiled.pad_left
+        for i, s in enumerate(sentences):
+            n = len(s)
+            s.score_padding = pad
+            s.boundary_scores = scores[i, : pad + max(n - 1, 0) + 1].copy()
+            exposed = scores[i, pad : pad + n - 1]
+            s.boundaries = (exposed > 0).astype(np.uint8)
+            if char_match is not None:
+                s.char_pma_states = char_match[i, :n].astype(np.int64)
+            if type_match is not None:
+                s.type_pma_states = type_match[i, :n].astype(np.int64)
+            s.set_predictor(self)
+
+    # ------------------------------------------------------------------
+    # tags (host-side; reference predictor.rs:546-637)
+    # ------------------------------------------------------------------
+
+    def store_tag_scores(self, flag: bool) -> None:
+        self._store_tag_scores = flag
+
+    def predict_tags(self, sentence: Sentence) -> None:
+        c = self.compiled
+        if c.tag_meta is None:
+            raise RuntimeError(
+                "this predictor is created with predict_tags = false"
+            )
+        if c.n_tags == 0:
+            return
+        n = len(sentence)
+        sentence.n_tags = c.n_tags
+        sentence.tags = [None] * (n * c.n_tags)
+        sentence.tag_scores = [None] * n if self._store_tag_scores else []
+        bounds = sentence.boundaries
+        # walk gaps; emit token at each WordBoundary and at sentence end
+        range_start: Optional[int] = 0
+        for i, b in enumerate(np.asarray(bounds)):
+            b = int(b)
+            if b == 2:  # Unknown
+                range_start = None
+            elif b == 1:  # WordBoundary
+                if range_start is not None:
+                    self._tag_token(sentence, range_start, i + 1)
+                range_start = i + 1
+        if range_start is not None:
+            self._tag_token(sentence, range_start, n)
+
+    def _tag_token(self, sentence: Sentence, start: int, end: int) -> None:
+        c = self.compiled
+        meta = c.tag_meta
+        token = sentence.text_substring(start, end)
+        token_id = meta.token_ids.get(token)
+        if token_id is None:
+            return
+        bias = meta.bias[token_id]
+        scores = np.zeros(max(8, len(bias)), dtype=np.int32)
+        scores[: len(bias)] = bias
+        pos = end - 1
+        if c.char_matcher is not None and c.char_matcher.tag_weight is not None:
+            _add_tag_scores(
+                c.char_matcher.tag_weight[token_id],
+                sentence.char_pma_states,
+                pos,
+                scores,
+            )
+        if c.type_matcher is not None and c.type_matcher.tag_weight is not None:
+            _add_tag_scores(
+                c.type_matcher.tag_weight[token_id],
+                sentence.type_pma_states,
+                pos,
+                scores,
+            )
+        tags = meta.tags[token_id]
+        _fill_token_tags(sentence, pos, tags, scores)
+        if self._store_tag_scores:
+            sentence.tag_scores[pos] = (tags, scores.tolist())
+
+    # ------------------------------------------------------------------
+    # AOT artifact (analogue of predictor.rs:639-664)
+    # ------------------------------------------------------------------
+
+    def serialize_to_vec(self) -> bytes:
+        from .compile.artifact import serialize_compiled
+
+        return serialize_compiled(self.compiled, self.predict_tags_enabled)
+
+    @classmethod
+    def deserialize_from_slice(cls, data: bytes) -> "Predictor":
+        from .compile.artifact import deserialize_compiled
+
+        compiled, predict_tags = deserialize_compiled(data)
+        return cls(None, predict_tags, compiled=compiled)
+
+
+def _add_tag_scores(
+    tag_weight: List[Dict[int, List[int]]],
+    states: np.ndarray,
+    pos: int,
+    scores: np.ndarray,
+) -> None:
+    """Reference char_scorer/boundary_tag_scorer.rs:153-174."""
+    n = len(states)
+    for j, table in enumerate(tag_weight):
+        if pos + j >= n:
+            break
+        state = int(states[pos + j])
+        if state < 0:
+            continue
+        w = table.get(state)
+        if w is not None:
+            k = min(len(w), len(scores))
+            scores[:k] += np.asarray(w[:k], dtype=np.int32)
+
+
+def _fill_token_tags(
+    sentence: Sentence, pos: int, tags: List[List[str]], scores: np.ndarray
+) -> None:
+    """Reference TagPredictor::predict (predictor.rs:286-304)."""
+    n_tags = sentence.n_tags
+    offset = 0
+    out = sentence.tags
+    for slot, cands in enumerate(tags):
+        if slot >= n_tags:
+            break
+        if len(cands) >= 2:
+            seg = scores[offset : offset + len(cands)]
+            # strict > comparison: first maximum wins
+            idx = 0
+            best = None
+            for i, v in enumerate(seg):
+                if best is None or int(v) > best:
+                    idx = i
+                    best = int(v)
+            out[pos * n_tags + slot] = cands[idx]
+            offset += len(cands)
+        else:
+            out[pos * n_tags + slot] = cands[0] if cands else None
+
+
+def _build_predict_fn(compiled: CompiledModel, tables):
+    import jax
+    import jax.numpy as jnp
+
+    from .ops.match import match_longest
+    from .ops.score import scatter_add_scores, type_cache_scores
+
+    c = compiled
+    pad_left = c.pad_left
+    pad_right = c.pad_right
+    bias = c.bias
+
+    @jax.jit
+    def fn(cps, cts, lengths):
+        B, L = cps.shape
+        S = pad_left + (L - 1) + pad_right
+        scores = jnp.full((B, S), bias, dtype=jnp.int32)
+        char_match = None
+        type_match = None
+        if "char" in tables:
+            base, check, value, rf, rc, w8, off = tables["char"]
+            syms = tables["char_sym"][cps]
+            # padding codepoints (0) project to symbol 0 = OOV
+            char_match = match_longest(
+                syms, base, check, value, c.char_matcher.max_len
+            )
+            scores = scatter_add_scores(
+                char_match, rf, rc, w8, off, scores, pad_left,
+                c.char_matcher.max_chunks,
+            )
+        if "type_cache" in tables:
+            scores = type_cache_scores(
+                cts, lengths, tables["type_cache"], c.type_window_size,
+                scores, pad_left,
+            )
+        elif "type" in tables:
+            base, check, value, rf, rc, w8, off = tables["type"]
+            t_idx = jax.lax.broadcasted_iota(jnp.int32, cts.shape, 1)
+            syms = jnp.where(t_idx < lengths[:, None], cts, 0)
+            type_match = match_longest(
+                syms, base, check, value, c.type_matcher.max_len
+            )
+            scores = scatter_add_scores(
+                type_match, rf, rc, w8, off, scores, pad_left,
+                c.type_matcher.max_chunks,
+            )
+        return scores, char_match, type_match
+
+    return fn
