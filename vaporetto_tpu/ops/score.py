@@ -16,10 +16,52 @@ and are discarded — numerically identical to the reference's clipping.
 
 from __future__ import annotations
 
+import numpy as np
+
 import jax
 import jax.numpy as jnp
 
-__all__ = ["scatter_add_scores", "type_cache_scores"]
+__all__ = ["scatter_add_scores", "shift_add_scores", "type_cache_scores"]
+
+
+def shift_add_scores(
+    match: jax.Array,  # (B, L) int32 pattern id or -1
+    rows_first: jax.Array,  # (n_ids,) int32 first weight-row of each id
+    rows_cnt: jax.Array,  # (n_ids,) int32 number of 8-wide rows
+    w8: jax.Array,  # (n_rows, 8) int32 weight chunks
+    off: jax.Array,  # (n_rows,) int32 chunk offsets (device copy)
+    off_np: np.ndarray,  # same offsets, host copy (static for tracing)
+    scores: jax.Array,  # (B, S) int32 padded score buffer (bias-initialized)
+    pad_left: int,
+    max_chunks: int,
+) -> jax.Array:
+    """Scatter-free scoring: per distinct offset, a masked shifted add.
+
+    TPU scatters are slow to compile and run; but a model has only a handful
+    of distinct weight offsets (one per n-gram window plus one per dictionary
+    word length). For each static offset ``d`` the contribution of every
+    position ``t`` lands at ``t + pad_left + d + j`` — a *static* slice of
+    the score buffer — so the whole scoring pass becomes masked vector adds
+    that XLA fuses into a few elementwise kernels. Numerically identical to
+    :func:`scatter_add_scores`.
+    """
+    B, L = match.shape
+    valid_m = match >= 0
+    safe_m = jnp.where(valid_m, match, 0)
+    first = rows_first[safe_m]
+    cnt = rows_cnt[safe_m]
+    distinct = [int(d) for d in np.unique(off_np)] if len(off_np) else []
+    for c in range(max_chunks):
+        valid = valid_m & (c < cnt)
+        row = jnp.where(valid, first + c, 0)
+        w = jnp.where(valid[..., None], w8[row], 0)  # (B, L, 8)
+        off_row = off[row]  # (B, L)
+        for d in distinct:
+            wd = jnp.where((off_row == d)[..., None], w, 0)
+            for j in range(8):
+                start = pad_left + d + j
+                scores = scores.at[:, start : start + L].add(wd[:, :, j])
+    return scores
 
 
 def scatter_add_scores(

@@ -51,6 +51,9 @@ class Predictor:
 
     def _tables(self):
         if self._device_tables is None:
+            from .utils.jaxcfg import ensure_compilation_cache
+
+            ensure_compilation_cache()
             import jax.numpy as jnp
 
             c = self.compiled
@@ -76,12 +79,23 @@ class Predictor:
         return self._device_tables
 
     def _predict_fn(self, B: int, L: int):
+        import jax
+
         key = (B, L)
         fn = self._jit_cache.get(key)
         if fn is None:
-            fn = _build_predict_fn(self.compiled, self._tables())
+            fn = jax.jit(_build_predict_fn(self.compiled, self._tables()))
             self._jit_cache[key] = fn
         return fn
+
+    def predict_raw_fn(self):
+        """The raw (unjitted) batch predict function over device tables.
+
+        Signature: ``fn(codepoints, char_types, lengths) ->
+        (padded_scores, char_match, type_match)``. Used by the benchmark
+        harness and the sharded data-parallel path.
+        """
+        return _build_predict_fn(self.compiled, self._tables())
 
     # ------------------------------------------------------------------
     # prediction
@@ -245,14 +259,15 @@ def _build_predict_fn(compiled: CompiledModel, tables):
     import jax.numpy as jnp
 
     from .ops.match import match_longest
-    from .ops.score import scatter_add_scores, type_cache_scores
+    from .ops.score import shift_add_scores, type_cache_scores
 
     c = compiled
     pad_left = c.pad_left
     pad_right = c.pad_right
     bias = c.bias
+    char_off_np = c.char_matcher.off if c.char_matcher is not None else None
+    type_off_np = c.type_matcher.off if c.type_matcher is not None else None
 
-    @jax.jit
     def fn(cps, cts, lengths):
         B, L = cps.shape
         S = pad_left + (L - 1) + pad_right
@@ -266,8 +281,8 @@ def _build_predict_fn(compiled: CompiledModel, tables):
             char_match = match_longest(
                 syms, base, check, value, c.char_matcher.max_len
             )
-            scores = scatter_add_scores(
-                char_match, rf, rc, w8, off, scores, pad_left,
+            scores = shift_add_scores(
+                char_match, rf, rc, w8, off, char_off_np, scores, pad_left,
                 c.char_matcher.max_chunks,
             )
         if "type_cache" in tables:
@@ -282,8 +297,8 @@ def _build_predict_fn(compiled: CompiledModel, tables):
             type_match = match_longest(
                 syms, base, check, value, c.type_matcher.max_len
             )
-            scores = scatter_add_scores(
-                type_match, rf, rc, w8, off, scores, pad_left,
+            scores = shift_add_scores(
+                type_match, rf, rc, w8, off, type_off_np, scores, pad_left,
                 c.type_matcher.max_chunks,
             )
         return scores, char_match, type_match
