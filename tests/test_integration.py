@@ -1,0 +1,149 @@
+"""Integration/conformance tests.
+
+The reference pins behaviour with doctests over bundled fixtures
+(resources/model.bin + resources/docs.tok, lib.rs:11-45); these are our
+byte-identical conformance contract.
+"""
+
+import subprocess
+import sys
+
+import pytest
+
+from vaporetto_tpu.models.kytea import KyteaModel, kytea_to_model
+from vaporetto_tpu.models.model import Model
+from vaporetto_tpu.predictor import Predictor
+from vaporetto_tpu.sentence import Sentence
+
+MODEL_BIN = "/root/reference/resources/model.bin"
+KYTEA_BIN = "/root/reference/resources/kytea-model.bin"
+DOCS_TOK = "/root/reference/resources/docs.tok"
+
+
+@pytest.fixture(scope="module")
+def predictor_tags():
+    return Predictor(Model.read(MODEL_BIN), True)
+
+
+class TestConformance:
+    def test_docs_tok_exact(self, predictor_tags):
+        """lib.rs:11-45 doctest: full tagged outputs on docs.tok."""
+        with open(DOCS_TOK) as f:
+            expected_lines = [line.rstrip("\n") for line in f]
+        for expected in expected_lines:
+            gold = Sentence.from_tokenized(expected)
+            s = Sentence.from_raw(gold.as_raw_text())
+            predictor_tags.predict(s)
+            s.fill_tags()
+            assert s.write_tokenized_text() == expected
+
+    def test_boundaries_only(self):
+        """predictor.rs:378-403 doctest (no tags)."""
+        pred = Predictor(Model.read(MODEL_BIN), False)
+        s = Sentence.from_raw("まぁ社長は火星猫だ")
+        pred.predict(s)
+        assert s.write_tokenized_text() == "まぁ 社長 は 火星 猫 だ"
+
+    def test_batch_conformance(self, predictor_tags):
+        with open(DOCS_TOK) as f:
+            expected_lines = [line.rstrip("\n") for line in f]
+        golds = [Sentence.from_tokenized(e) for e in expected_lines]
+        sents = [Sentence.from_raw(g.as_raw_text()) for g in golds]
+        predictor_tags.predict_batch(sents)
+        for s, expected in zip(sents, expected_lines):
+            s.fill_tags()
+            assert s.write_tokenized_text() == expected
+
+
+class TestKyteaConversion:
+    def test_kytea_doctest(self):
+        """kytea_model.rs:399-422 doctest."""
+        model = kytea_to_model(KyteaModel.read(KYTEA_BIN))
+        pred = Predictor(model, False)
+        s = Sentence.from_raw("まぁ社長は火星猫だ")
+        pred.predict(s)
+        assert s.write_tokenized_text() == "まぁ 社長 は 火星 猫 だ"
+
+    def test_converted_model_roundtrip(self, tmp_path):
+        model = kytea_to_model(KyteaModel.read(KYTEA_BIN))
+        path = tmp_path / "model.zst"
+        with open(path, "wb") as f:
+            model.write(f, zstd_level=19)
+        model2 = Model.read(str(path))
+        assert len(model2.char_ngram_model) == len(model.char_ngram_model)
+        assert len(model2.dict_model) == len(model.dict_model)
+
+
+class TestCLI:
+    def test_predict_cli(self, tmp_path):
+        out = subprocess.run(
+            [sys.executable, "-m", "vaporetto_tpu.cli.predict",
+             "--model", MODEL_BIN, "--predict-tags"],
+            input="まぁ社長は火星猫だ\n",
+            capture_output=True, text=True, timeout=560,
+            env={"PATH": "/usr/bin:/bin", "JAX_PLATFORMS": "cpu",
+                 "PYTHONPATH": "/root/repo", "HOME": "/root"},
+        )
+        assert out.returncode == 0, out.stderr
+        assert out.stdout == (
+            "まぁ/名詞/マー 社長/名詞/シャチョー は/助詞/ワ "
+            "火星/名詞/カセー 猫/名詞/ネコ だ/助動詞/ダ\n"
+        )
+
+    def test_evaluate_cli(self):
+        with open(DOCS_TOK) as f:
+            docs = f.read()
+        out = subprocess.run(
+            [sys.executable, "-m", "vaporetto_tpu.cli.evaluate",
+             "--model", MODEL_BIN, "--metric", "char"],
+            input=docs, capture_output=True, text=True, timeout=560,
+            env={"PATH": "/usr/bin:/bin", "JAX_PLATFORMS": "cpu",
+                 "PYTHONPATH": "/root/repo", "HOME": "/root"},
+        )
+        assert out.returncode == 0, out.stderr
+        assert "F1: 1" in out.stdout  # perfect on its own training sample
+        assert "Precision: 1" in out.stdout
+
+    def test_manipulate_model_cli(self, tmp_path):
+        dump = tmp_path / "dict.csv"
+        out_model = tmp_path / "out.bin"
+        out = subprocess.run(
+            [sys.executable, "-m", "vaporetto_tpu.cli.manipulate_model",
+             "--model-in", MODEL_BIN, "--dump-dict", str(dump),
+             "--model-out", str(out_model)],
+            capture_output=True, text=True, timeout=120,
+            env={"PATH": "/usr/bin:/bin", "PYTHONPATH": "/root/repo",
+                 "HOME": "/root"},
+        )
+        assert out.returncode == 0, out.stderr
+        assert dump.exists() and out_model.exists()
+        # the bundled model has an empty dictionary; replace it
+        csv_text = "word,weights,comment\n火星猫,1 2 3 4,テスト\n"
+        dict_csv = tmp_path / "new.csv"
+        dict_csv.write_text(csv_text)
+        out = subprocess.run(
+            [sys.executable, "-m", "vaporetto_tpu.cli.manipulate_model",
+             "--model-in", MODEL_BIN, "--replace-dict", str(dict_csv),
+             "--model-out", str(out_model)],
+            capture_output=True, text=True, timeout=120,
+            env={"PATH": "/usr/bin:/bin", "PYTHONPATH": "/root/repo",
+                 "HOME": "/root"},
+        )
+        assert out.returncode == 0, out.stderr
+        m = Model.read(str(out_model))
+        assert [r.word for r in m.dictionary()] == ["火星猫"]
+        assert m.dictionary()[0].get_weights() == [1, 2, 3, 4]
+        assert m.dictionary()[0].get_comment() == "テスト"
+
+    def test_convert_kytea_cli(self, tmp_path):
+        out_model = tmp_path / "converted.zst"
+        out = subprocess.run(
+            [sys.executable, "-m", "vaporetto_tpu.cli.convert_kytea_model",
+             "--model-in", KYTEA_BIN, "--model-out", str(out_model)],
+            capture_output=True, text=True, timeout=120,
+            env={"PATH": "/usr/bin:/bin", "PYTHONPATH": "/root/repo",
+                 "HOME": "/root"},
+        )
+        assert out.returncode == 0, out.stderr
+        m = Model.read(str(out_model))
+        assert m.char_ngram_model

@@ -1,0 +1,115 @@
+"""train CLI.
+
+Mirrors the reference train CLI (train/src/main.rs): loads tokenized
+(--tok) and/or partially annotated (--part) corpora plus dictionaries
+(--dict), fullwidth-normalizes the training text while keeping the original
+boundaries/tags (main.rs:92-101), trains, and writes a zstd-19 model.
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+from typing import List, Optional
+
+from ..rules import KyteaFullwidthFilter
+from ..sentence import Sentence
+from ..train.trainer import SolverType, Trainer
+
+
+def _normalized(s: Sentence, fullwidth: KyteaFullwidthFilter,
+                no_norm: bool) -> Sentence:
+    if no_norm:
+        return s
+    new_s = Sentence.from_raw(fullwidth.filter(s.as_raw_text()))
+    new_s.boundaries = s.boundaries.copy()
+    new_s.reset_tags(s.n_tags)
+    new_s.tags = list(s.tags)
+    new_s.n_tags = s.n_tags
+    return new_s
+
+
+def main(argv: Optional[List[str]] = None) -> int:
+    p = argparse.ArgumentParser(
+        description="A program to train models of Vaporetto."
+    )
+    p.add_argument("--tok", action="append", default=[],
+                   help="A tokenized training corpus")
+    p.add_argument("--part", action="append", default=[],
+                   help="A partially annotated training corpus")
+    p.add_argument("--dict", action="append", default=[],
+                   help="A word dictionary file")
+    p.add_argument("--model", required=True,
+                   help="The file to write the trained model to")
+    p.add_argument("--charw", type=int, default=3)
+    p.add_argument("--charn", type=int, default=3)
+    p.add_argument("--typew", type=int, default=3)
+    p.add_argument("--typen", type=int, default=3)
+    p.add_argument("--dictn", type=int, default=4)
+    p.add_argument("--eps", type=float, default=0.01)
+    p.add_argument("--cost", type=float, default=1.0)
+    p.add_argument("--solver", required=True, type=SolverType.from_str,
+                   help="The solver. {0..7} (see LIBLINEAR documentation)")
+    p.add_argument("--no-norm", action="store_true",
+                   help="Do not normalize training data.")
+    p.add_argument("--zstd-workers", type=int, default=0)
+    args = p.parse_args(argv)
+
+    if not args.tok and not args.part:
+        p.error("at least one of --tok / --part is required")
+
+    fullwidth = KyteaFullwidthFilter()
+
+    print("Loading dataset...", file=sys.stderr)
+    train_sents = []
+    for path in args.tok:
+        print(f"Loading {path} ...", file=sys.stderr)
+        with open(path) as f:
+            for line in f:
+                line = line.rstrip("\n")
+                s = Sentence.from_tokenized(line)
+                train_sents.append(_normalized(s, fullwidth, args.no_norm))
+        print(f"# of sentences: {len(train_sents)}", file=sys.stderr)
+    for path in args.part:
+        print(f"Loading {path} ...", file=sys.stderr)
+        with open(path) as f:
+            for line in f:
+                line = line.rstrip("\n")
+                s = Sentence.from_partial_annotation(line)
+                train_sents.append(_normalized(s, fullwidth, args.no_norm))
+        print(f"# of sentences: {len(train_sents)}", file=sys.stderr)
+
+    tag_dictionary = []
+    dictionary = set()
+    for path in args.dict:
+        print(f"Loading {path} ...", file=sys.stderr)
+        with open(path) as f:
+            for line in f:
+                line = line.rstrip("\n")
+                s = Sentence.from_tokenized(line)
+                s = _normalized(s, fullwidth, args.no_norm)
+                for token in s.iter_tokens():
+                    dictionary.add(token.surface())
+                tag_dictionary.append(s)
+        print(f"# of words: {len(dictionary)}", file=sys.stderr)
+
+    print("Extracting into features...", file=sys.stderr)
+    trainer = Trainer(
+        args.charw, args.charn, args.typew, args.typen,
+        sorted(dictionary), args.dictn, tag_dictionary,
+    )
+    for s in train_sents:
+        trainer.add_example(s)
+    print(f"# of features: {trainer.n_features()}", file=sys.stderr)
+
+    print("Start training...", file=sys.stderr)
+    model = trainer.train(args.eps, args.cost, args.solver)
+    print("Finish training.", file=sys.stderr)
+
+    with open(args.model, "wb") as f:
+        model.write(f, zstd_level=19)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

