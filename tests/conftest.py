@@ -2,15 +2,28 @@
 
 Tests run on CPU with a virtual 8-device mesh so multi-chip sharding paths
 compile and execute without TPU hardware (SURVEY.md §4 implication (d)).
+
+The environment preloads jax with the axon TPU backend at interpreter
+startup and exports ``JAX_PLATFORMS=axon``, so env vars alone don't stick —
+the platform must be forced through jax.config after import.
+
 Set VAPORETTO_TPU_TEST_REAL_DEVICE=1 to run on whatever JAX finds.
 """
 
 import os
 
 if not os.environ.get("VAPORETTO_TPU_TEST_REAL_DEVICE"):
-    os.environ.setdefault("JAX_PLATFORMS", "cpu")
     flags = os.environ.get("XLA_FLAGS", "")
     if "xla_force_host_platform_device_count" not in flags:
         os.environ["XLA_FLAGS"] = (
             flags + " --xla_force_host_platform_device_count=8"
         ).strip()
+    os.environ["JAX_PLATFORMS"] = "cpu"
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+
+# persistent compilation cache makes repeated test runs much faster
+from vaporetto_tpu.utils.jaxcfg import ensure_compilation_cache  # noqa: E402
+
+ensure_compilation_cache()

@@ -71,9 +71,27 @@ def build_trie(
 ) -> DoubleArrayTrie:
     """Build a double-array trie; pattern i gets value i.
 
-    Pure-Python builder, adequate for models up to ~100k patterns; the C++
-    builder in ``native/`` takes over for production-size dictionaries.
+    Uses the native C++ builder (native/trie_builder.cc) when available —
+    required for production-size dictionaries — with this pure-Python
+    builder as the fallback.
     """
+    max_len = max((len(p) for p in patterns), default=0)
+    try:
+        from ..native import build_trie_native
+
+        result = build_trie_native(patterns, n_symbols)
+    except Exception:
+        result = None
+    if result is not None:
+        base, check, value = result
+        return DoubleArrayTrie(base, check, value, n_symbols, max_len)
+    return _build_trie_python(patterns, n_symbols)
+
+
+def _build_trie_python(
+    patterns: Sequence[Tuple[int, ...]],
+    n_symbols: int,
+) -> DoubleArrayTrie:
     # plain trie: children[node] = {sym: node}
     children: List[Dict[int, int]] = [{}]
     terminal: List[int] = [-1]

@@ -1,0 +1,143 @@
+"""ctypes bindings for the native (C++) host components.
+
+The native library is optional at runtime: every entry point has a pure
+Python/numpy fallback (compile/trie.py, utils/batch.py). Build with
+``make -C vaporetto_tpu/native`` (done automatically on first import when a
+compiler is available).
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+from typing import Optional, Sequence, Tuple
+
+import numpy as np
+
+_DIR = os.path.dirname(os.path.abspath(__file__))
+_LIB_PATH = os.path.join(_DIR, "libvaporetto_native.so")
+_lib: Optional[ctypes.CDLL] = None
+_tried = False
+
+
+def _load() -> Optional[ctypes.CDLL]:
+    global _lib, _tried
+    if _lib is not None or _tried:
+        return _lib
+    _tried = True
+    if not os.path.exists(_LIB_PATH):
+        try:
+            subprocess.run(
+                ["make", "-C", _DIR],
+                capture_output=True,
+                timeout=120,
+                check=True,
+            )
+        except Exception:
+            return None
+    try:
+        lib = ctypes.CDLL(_LIB_PATH)
+    except OSError:
+        return None
+    lib.vt_build_trie.restype = ctypes.c_int
+    lib.vt_build_trie.argtypes = [
+        ctypes.POINTER(ctypes.c_int32),
+        ctypes.POINTER(ctypes.c_int64),
+        ctypes.c_int64,
+        ctypes.c_int32,
+        ctypes.POINTER(ctypes.POINTER(ctypes.c_int32)),
+        ctypes.POINTER(ctypes.POINTER(ctypes.c_int32)),
+        ctypes.POINTER(ctypes.POINTER(ctypes.c_int32)),
+        ctypes.POINTER(ctypes.c_int64),
+    ]
+    lib.vt_free.restype = None
+    lib.vt_free.argtypes = [ctypes.c_void_p]
+    lib.vt_tensorize.restype = ctypes.c_int
+    lib.vt_tensorize.argtypes = [
+        ctypes.POINTER(ctypes.c_uint8),
+        ctypes.POINTER(ctypes.c_int64),
+        ctypes.c_int64,
+        ctypes.c_int32,
+        ctypes.POINTER(ctypes.c_int32),
+        ctypes.POINTER(ctypes.c_uint8),
+        ctypes.POINTER(ctypes.c_int32),
+    ]
+    _lib = lib
+    return _lib
+
+
+def available() -> bool:
+    return _load() is not None
+
+
+def build_trie_native(
+    patterns: Sequence[Tuple[int, ...]], n_symbols: int
+) -> Optional[Tuple[np.ndarray, np.ndarray, np.ndarray]]:
+    """Build the double-array via C++; None if the library is unavailable."""
+    lib = _load()
+    if lib is None:
+        return None
+    offsets = np.zeros(len(patterns) + 1, dtype=np.int64)
+    for i, p in enumerate(patterns):
+        offsets[i + 1] = offsets[i] + len(p)
+    flat = np.empty(int(offsets[-1]), dtype=np.int32)
+    for i, p in enumerate(patterns):
+        flat[offsets[i] : offsets[i + 1]] = p
+    base_p = ctypes.POINTER(ctypes.c_int32)()
+    check_p = ctypes.POINTER(ctypes.c_int32)()
+    value_p = ctypes.POINTER(ctypes.c_int32)()
+    n_slots = ctypes.c_int64()
+    rc = lib.vt_build_trie(
+        flat.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        offsets.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        len(patterns),
+        n_symbols,
+        ctypes.byref(base_p),
+        ctypes.byref(check_p),
+        ctypes.byref(value_p),
+        ctypes.byref(n_slots),
+    )
+    if rc != 0:
+        return None
+    n = n_slots.value
+    base = np.ctypeslib.as_array(base_p, shape=(n,)).copy()
+    check = np.ctypeslib.as_array(check_p, shape=(n,)).copy()
+    value = np.ctypeslib.as_array(value_p, shape=(n,)).copy()
+    lib.vt_free(base_p)
+    lib.vt_free(check_p)
+    lib.vt_free(value_p)
+    return base, check, value
+
+
+def tensorize_native(
+    lines: Sequence[bytes], L: int
+) -> Optional[Tuple[np.ndarray, np.ndarray, np.ndarray]]:
+    """Decode UTF-8 lines to (codepoints, types, lengths); None if no lib."""
+    lib = _load()
+    if lib is None:
+        return None
+    n = len(lines)
+    offsets = np.zeros(n + 1, dtype=np.int64)
+    for i, b in enumerate(lines):
+        offsets[i + 1] = offsets[i] + len(b)
+    buf = np.frombuffer(b"".join(lines), dtype=np.uint8) if n else np.zeros(
+        0, dtype=np.uint8
+    )
+    if buf.size == 0:
+        buf = np.zeros(1, dtype=np.uint8)
+    cps = np.zeros((n, L), dtype=np.int32)
+    types = np.zeros((n, L), dtype=np.uint8)
+    lengths = np.zeros(n, dtype=np.int32)
+    rc = lib.vt_tensorize(
+        buf.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        offsets.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        n,
+        L,
+        cps.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        types.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        lengths.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+    )
+    if rc != 0:
+        return None
+    return cps, types, lengths

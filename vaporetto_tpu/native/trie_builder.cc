@@ -1,0 +1,189 @@
+// Double-array trie builder — native host compiler.
+#include <algorithm>
+//
+// The perf-critical "automaton build" role that the reference delegates to
+// the daachorse crate (char_scorer/boundary_scorer.rs:82-87) is played here
+// by a C++ double-array builder: production dictionaries (10^5..10^6
+// patterns) pack in well under a second, where the Python fallback in
+// compile/trie.py takes minutes.
+//
+// Layout contract (shared with compile/trie.py):
+//   base[s] + sym -> child slot t, valid iff check[t] == s
+//   value[t] = pattern id terminating at t, else -1
+//   root = slot 0 (check[0] = 0), symbols are 1..=n_symbols, 0 = OOV.
+//
+// Free slots are kept in a doubly-linked list threaded through the arrays
+// (darts-clone style) so base search skips occupied regions in O(1).
+
+#include <cstdint>
+#include <cstdlib>
+#include <cstring>
+#include <queue>
+#include <vector>
+
+namespace {
+
+struct TrieNode {
+  std::vector<std::pair<int32_t, int32_t>> children;  // (symbol, node id)
+  int32_t value = -1;
+};
+
+struct Builder {
+  std::vector<int32_t> base, check, value;
+  // free-list: next_free[i] / prev_free[i] valid where check[i] == -1
+  std::vector<int32_t> next_free, prev_free;
+  int64_t cap = 0;
+
+  void grow(int64_t need) {
+    if (need <= cap) return;
+    int64_t new_cap = cap ? cap : 1024;
+    while (new_cap < need) new_cap *= 2;
+    base.resize(new_cap, 0);
+    check.resize(new_cap, -1);
+    value.resize(new_cap, -1);
+    next_free.resize(new_cap);
+    prev_free.resize(new_cap);
+    for (int64_t i = cap; i < new_cap; ++i) {
+      next_free[i] = static_cast<int32_t>(i + 1);
+      prev_free[i] = static_cast<int32_t>(i - 1);
+    }
+    // link the old tail of the free list to the new region
+    if (cap > 0) {
+      int64_t tail = -1;
+      // find previous dangling end: slots with next_free == cap
+      // we maintain the invariant that free list is sorted; the last free
+      // slot before growth pointed at `cap`; it still does, and cap is the
+      // head of the new region, so links are already consistent.
+      (void)tail;
+    }
+    cap = new_cap;
+  }
+
+  void occupy(int64_t pos) {
+    // unlink pos from the free list (caller sets check/value)
+    int32_t nf = next_free[pos], pf = prev_free[pos];
+    if (pf >= 0) next_free[pf] = nf;
+    if (nf < cap) prev_free[nf] = pf;
+  }
+
+  int64_t first_free(int64_t from) {
+    // free slots form a monotone chain; walk from `from` via next_free
+    int64_t i = from;
+    grow(i + 1);
+    while (check[i] != -1) {
+      i = next_free[i];
+      grow(i + 1);
+    }
+    return i;
+  }
+};
+
+}  // namespace
+
+extern "C" {
+
+// Returns 0 on success. Outputs are malloc'd; caller frees with vt_free.
+int vt_build_trie(const int32_t* pattern_data, const int64_t* pattern_offsets,
+                  int64_t n_patterns, int32_t n_symbols, int32_t** base_out,
+                  int32_t** check_out, int32_t** value_out,
+                  int64_t* n_slots_out) {
+  // ---- plain trie ----
+  std::vector<TrieNode> nodes(1);
+  for (int64_t p = 0; p < n_patterns; ++p) {
+    int32_t cur = 0;
+    for (int64_t i = pattern_offsets[p]; i < pattern_offsets[p + 1]; ++i) {
+      int32_t sym = pattern_data[i];
+      if (sym < 1 || sym > n_symbols) return 1;
+      auto& ch = nodes[cur].children;
+      int32_t nxt = -1;
+      for (auto& kv : ch) {
+        if (kv.first == sym) {
+          nxt = kv.second;
+          break;
+        }
+      }
+      if (nxt < 0) {
+        nxt = static_cast<int32_t>(nodes.size());
+        nodes.emplace_back();
+        nodes[cur].children.emplace_back(sym, nxt);
+      }
+      cur = nxt;
+    }
+    nodes[cur].value = static_cast<int32_t>(p);
+  }
+  for (auto& n : nodes) {
+    std::sort(n.children.begin(), n.children.end());
+  }
+
+  // ---- double-array packing (BFS) ----
+  Builder b;
+  b.grow(static_cast<int64_t>(nodes.size()) * 2 + n_symbols + 2);
+  b.check[0] = 0;  // root occupies slot 0
+  b.value[0] = nodes[0].value;
+  b.occupy(0);
+
+  std::vector<int64_t> slot_of(nodes.size(), -1);
+  slot_of[0] = 0;
+  std::queue<int32_t> q;
+  q.push(0);
+  int64_t search_hint = 1;
+  int64_t max_used = 0;
+  while (!q.empty()) {
+    int32_t node = q.front();
+    q.pop();
+    const auto& kids = nodes[node].children;
+    if (kids.empty()) continue;
+    int64_t slot = slot_of[node];
+    int32_t first_sym = kids[0].first;
+    // find a base: anchor on successive free slots for the first child
+    int64_t cand = b.first_free(
+        search_hint > first_sym ? search_hint : first_sym + 1);
+    for (;;) {
+      int64_t base_v = cand - first_sym;
+      if (base_v >= 1) {
+        bool ok = true;
+        for (const auto& kv : kids) {
+          int64_t t = base_v + kv.first;
+          b.grow(t + 1);
+          if (b.check[t] != -1) {
+            ok = false;
+            break;
+          }
+        }
+        if (ok) {
+          b.base[slot] = static_cast<int32_t>(base_v);
+          for (const auto& kv : kids) {
+            int64_t t = base_v + kv.first;
+            b.occupy(t);
+            b.check[t] = static_cast<int32_t>(slot);
+            b.value[t] = nodes[kv.second].value;
+            slot_of[kv.second] = t;
+            if (t > max_used) max_used = t;
+            q.push(kv.second);
+          }
+          break;
+        }
+      }
+      cand = b.next_free[cand];
+      b.grow(cand + 1);
+    }
+    // advance the hint past the densely occupied prefix
+    while (search_hint < b.cap && b.check[search_hint] != -1) ++search_hint;
+  }
+
+  int64_t n_slots = max_used + n_symbols + 2;
+  b.grow(n_slots);
+  *base_out = static_cast<int32_t*>(malloc(n_slots * sizeof(int32_t)));
+  *check_out = static_cast<int32_t*>(malloc(n_slots * sizeof(int32_t)));
+  *value_out = static_cast<int32_t*>(malloc(n_slots * sizeof(int32_t)));
+  if (!*base_out || !*check_out || !*value_out) return 2;
+  memcpy(*base_out, b.base.data(), n_slots * sizeof(int32_t));
+  memcpy(*check_out, b.check.data(), n_slots * sizeof(int32_t));
+  memcpy(*value_out, b.value.data(), n_slots * sizeof(int32_t));
+  *n_slots_out = n_slots;
+  return 0;
+}
+
+void vt_free(void* p) { free(p); }
+
+}  // extern "C"
