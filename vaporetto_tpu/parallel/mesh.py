@@ -47,42 +47,51 @@ def shard_predict_fn(predictor, mesh, axis: str = "dp"):
 
 
 def train_step_dryrun(mesh, axis: str = "dp") -> None:
-    """One data-parallel training step on tiny shapes.
+    """The REAL trainer solver, data-parallel over the mesh, tiny shapes.
 
-    A full-batch L2-regularized logistic-regression step (the solver family
-    the trainer uses — reference trainer.rs:352-364 delegates to LIBLINEAR)
-    with examples sharded over the mesh and the gradient reduced by `psum`
-    across it. Exercises the exact collective layout of the real trainer.
+    Runs the FISTA solver from train/solver.py (the LIBLINEAR replacement
+    used by the actual ``Trainer``) with the sparse example arrays sharded
+    on the batch dimension and the weight vector replicated; GSPMD inserts
+    the cross-device reduction for the `segment_sum` gradient — the exact
+    collective layout of multi-host training.
     """
     import jax
-    import jax.numpy as jnp
     from jax.sharding import NamedSharding, PartitionSpec as P
 
+    from ..train.solver import _fista
+
     n = mesh.devices.size
-    N, D = 8 * n, 32
+    N, K, D = 8 * n, 8, 30
     rng = np.random.default_rng(0)
-    x = rng.normal(size=(N, D)).astype(np.float32)
-    y = (rng.random(N) > 0.5).astype(np.float32)
-    w0 = np.zeros(D, dtype=np.float32)
+    idx = rng.integers(1, D + 1, size=(N, K)).astype(np.int32)
+    idx[:, -1] = D + 1  # bias feature
+    val = np.ones((N, K), dtype=np.float32)
+    y = np.where(rng.random(N) > 0.5, 1.0, -1.0).astype(np.float32)
+    mask = np.ones(N, dtype=np.float32)
 
     data_sharding = NamedSharding(mesh, P(axis, None))
     vec_sharding = NamedSharding(mesh, P(axis))
-    rep = NamedSharding(mesh, P())
 
-    def loss_fn(w, xb, yb):
-        logits = xb @ w
-        ll = jnp.mean(
-            jnp.logaddexp(0.0, logits) - yb * logits
+    with jax.sharding.use_mesh(mesh) if hasattr(jax.sharding, "use_mesh") else _null():
+        w = _fista(
+            jax.device_put(idx, data_sharding),
+            jax.device_put(val, data_sharding),
+            jax.device_put(y, vec_sharding),
+            jax.device_put(mask, vec_sharding),
+            64,  # n_dim (padded)
+            1.0,
+            0.01,
+            0,  # logistic
+            False,
+            max_iter=25,
         )
-        return ll + 0.5 * 1e-2 * jnp.sum(w * w)
+        jax.block_until_ready(w)
+    assert w.shape == (64,)
 
-    @jax.jit
-    def step(w, xb, yb):
-        g = jax.grad(loss_fn)(w, xb, yb)
-        return w - 0.1 * g
 
-    xs = jax.device_put(x, data_sharding)
-    ys = jax.device_put(y, vec_sharding)
-    ws = jax.device_put(w0, rep)
-    w1 = step(ws, xs, ys)
-    jax.block_until_ready(w1)
+class _null:
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *a):
+        return False

@@ -101,8 +101,17 @@ class Predictor:
     # prediction
     # ------------------------------------------------------------------
 
+    #: sentences longer than this are processed as halo-overlap chunks
+    #: (identical results, bounded device shapes)
+    LONG_SENTENCE_THRESHOLD = 8192
+
     def predict(self, sentence: Sentence) -> None:
         """Predict word boundaries of the given sentence in place."""
+        if len(sentence) > self.LONG_SENTENCE_THRESHOLD:
+            from .parallel.chunking import predict_long
+
+            predict_long(self, sentence, chunk_size=self.LONG_SENTENCE_THRESHOLD)
+            return
         self.predict_batch([sentence])
 
     def predict_batch(self, sentences: Sequence[Sentence]) -> None:
@@ -128,6 +137,14 @@ class Predictor:
             if type_match is not None:
                 s.type_pma_states = type_match[i, :n].astype(np.int64)
             s.set_predictor(self)
+        from .utils.observe import debug_checks_enabled
+
+        if debug_checks_enabled():
+            from .ops.host_reference import verify_batch
+
+            err = verify_batch(self.compiled, sentences)
+            if err is not None:
+                raise AssertionError(err)
 
     # ------------------------------------------------------------------
     # tags (host-side; reference predictor.rs:546-637)
