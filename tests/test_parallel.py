@@ -1,0 +1,101 @@
+"""Data-parallel / mesh tests (virtual 8-device CPU mesh)."""
+
+import numpy as np
+import pytest
+
+import jax
+
+from vaporetto_tpu.models.model import Model
+from vaporetto_tpu.parallel.data import Batch, batched_lines, host_shard
+from vaporetto_tpu.parallel.mesh import (
+    make_mesh,
+    shard_predict_fn,
+    train_step_dryrun,
+)
+from vaporetto_tpu.predictor import Predictor
+from vaporetto_tpu.sentence import Sentence
+
+from test_scorers import create_test_model
+
+N_DEV = len(jax.devices())
+
+
+@pytest.fixture(scope="module")
+def predictor():
+    return Predictor(create_test_model(), False)
+
+
+class TestMesh:
+    def test_sharded_predict_matches_single(self, predictor):
+        mesh = make_mesh(N_DEV)
+        fn = shard_predict_fn(predictor, mesh)
+        texts = ["この人は地球人だ", "人だ地球", "地球人だ", "この地球"] * (
+            2 * N_DEV
+        )
+        sents = [Sentence.from_raw(t) for t in texts]
+        from vaporetto_tpu.utils.batch import tensorize
+
+        cps, cts, lengths = tensorize(sents)
+        scores, _, _ = fn(cps, cts, lengths)
+        ref = [Sentence.from_raw(t) for t in texts]
+        predictor.predict_batch(ref)
+        pad = predictor.compiled.pad_left
+        for i, s in enumerate(ref):
+            n = len(s)
+            got = np.asarray(scores)[i, pad : pad + n - 1].tolist()
+            assert got == s.boundary_scores_list()
+
+    def test_train_step_dryrun(self):
+        train_step_dryrun(make_mesh(N_DEV))
+
+
+class TestDataPipeline:
+    def test_host_shard(self):
+        lines = [f"line{i}" for i in range(10)]
+        s0 = host_shard(lines, 0, 2)
+        s1 = host_shard(lines, 1, 2)
+        assert [i for i, _ in s0] == [0, 2, 4, 6, 8]
+        assert [i for i, _ in s1] == [1, 3, 5, 7, 9]
+        assert len(s0) + len(s1) == 10
+
+    def test_batched_lines_shapes_and_content(self):
+        lines = ["まぁ社長", "は", "火星猫だよとても長い文章です" * 3, "猫だ"]
+        batches = list(batched_lines(list(enumerate(lines)), batch_size=2))
+        covered = set()
+        for b in batches:
+            B, L = b.codepoints.shape
+            assert B == 2
+            assert (L & (L - 1)) == 0  # power of two
+            for r in range(B):
+                i = b.line_indices[r]
+                if i < 0:
+                    assert b.lengths[r] == 0
+                    continue
+                covered.add(int(i))
+                text = lines[i]
+                assert b.lengths[r] == len(text)
+                cps = b.codepoints[r, : len(text)]
+                assert cps.tolist() == [ord(c) for c in text]
+        assert covered == set(range(len(lines)))
+
+    def test_batched_lines_predict_equivalence(self, predictor):
+        lines = ["この人は地球人だ", "人だ", "地球", "この人はこの人だ", "地球人"]
+        expected = []
+        for t in lines:
+            s = Sentence.from_raw(t)
+            predictor.predict(s)
+            expected.append(s.boundary_scores_list())
+        pad = predictor.compiled.pad_left
+        got = {}
+        for b in batched_lines(list(enumerate(lines)), batch_size=4):
+            B, L = b.codepoints.shape
+            fn = predictor._predict_fn(B, L)
+            scores, _, _ = fn(b.codepoints, b.char_types, b.lengths)
+            scores = np.asarray(scores)
+            for r in range(B):
+                i = int(b.line_indices[r])
+                if i >= 0:
+                    n = int(b.lengths[r])
+                    got[i] = scores[r, pad : pad + n - 1].tolist()
+        for i, exp in enumerate(expected):
+            assert got[i] == exp
