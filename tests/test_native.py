@@ -25,8 +25,8 @@ class TestNativeTrie:
             ln = int(rng.integers(1, 9))
             patterns.add(tuple(int(x) for x in rng.integers(1, n_symbols + 1, ln)))
         patterns = sorted(patterns)
-        base, check, value = build_trie_native(patterns, n_symbols)
-        native = DoubleArrayTrie(base, check, value, n_symbols, 8)
+        base, check, value, inherit = build_trie_native(patterns, n_symbols)
+        native = DoubleArrayTrie(base, check, value, n_symbols, 8, inherit)
         python = _build_trie_python(patterns, n_symbols)
         non_patterns = [
             tuple(int(x) for x in rng.integers(1, n_symbols + 1, 4))
@@ -35,6 +35,14 @@ class TestNativeTrie:
         assert lookup_all(native, patterns, non_patterns) == lookup_all(
             python, patterns, non_patterns
         )
+        # inherit (AC output link) equivalence, aligned via slot walks
+        for p in patterns:
+            sn = 0
+            sp = 0
+            for a in p:
+                sn = int(native.base[sn]) + a
+                sp = int(python.base[sp]) + a
+            assert native.inherit[sn] == python.inherit[sp], p
         # every pattern maps to its own id
         for i, p in enumerate(patterns):
             assert native.lookup(p) == i
@@ -47,8 +55,8 @@ class TestNativeTrie:
             ln = int(rng.integers(1, 6))
             patterns.add(tuple(int(x) for x in rng.integers(1, n_symbols + 1, ln)))
         patterns = sorted(patterns)
-        base, check, value = build_trie_native(patterns, n_symbols)
-        trie = DoubleArrayTrie(base, check, value, n_symbols, 5)
+        base, check, value, inherit = build_trie_native(patterns, n_symbols)
+        trie = DoubleArrayTrie(base, check, value, n_symbols, 5, inherit)
         for i in range(0, len(patterns), 997):
             assert trie.lookup(patterns[i]) == i
 

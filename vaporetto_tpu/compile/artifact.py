@@ -76,8 +76,8 @@ def serialize_compiled(c: CompiledModel, predict_tags: bool) -> bytes:
             continue
         manifest[f"{name}_max_len"] = m.max_len
         manifest[f"{name}_max_chunks"] = m.max_chunks
-        for field in ("base", "check", "value", "rows_first", "rows_cnt",
-                      "w8", "off"):
+        for field in ("base", "check", "value", "inherit", "rows_first",
+                      "rows_cnt", "w8", "off"):
             arrays[f"{name}_{field}"] = getattr(m, field)
         rows, flat = _pack_tag_weight(m.tag_weight)
         if rows is not None:
@@ -147,6 +147,7 @@ def deserialize_compiled(data: bytes) -> Tuple[CompiledModel, bool]:
             base=arrays[f"{name}_base"],
             check=arrays[f"{name}_check"],
             value=arrays[f"{name}_value"],
+            inherit=arrays[f"{name}_inherit"],
             max_len=manifest[f"{name}_max_len"],
             rows_first=arrays[f"{name}_rows_first"],
             rows_cnt=arrays[f"{name}_rows_cnt"],

@@ -41,6 +41,7 @@ class CompiledMatcher:
     base: np.ndarray
     check: np.ndarray
     value: np.ndarray
+    inherit: np.ndarray  # AC output link resolved to pattern id (or -1)
     max_len: int
     rows_first: np.ndarray  # (n_ids,) int32
     rows_cnt: np.ndarray  # (n_ids,) int32
@@ -143,6 +144,7 @@ def _build_matcher(
         base=trie.base,
         check=trie.check,
         value=trie.value,
+        inherit=trie.inherit,
         max_len=trie.max_len,
         rows_first=rows_first,
         rows_cnt=rows_cnt,

@@ -36,15 +36,20 @@ class DoubleArrayTrie:
       ``base[s] + a``
     * ``check``: int32[n_slots] — parent slot of each occupied slot (-1 free)
     * ``value``: int32[n_slots] — pattern id terminating at this node, or -1
+    * ``inherit``: int32[n_slots] — Aho-Corasick output link resolved to a
+      pattern id: the longest pattern that is a suffix of this node's
+      string, or -1. The device matcher gathers it once per position.
 
     Root is slot 0. The arrays are padded with one trailing guard region of
     ``n_symbols + 1`` slots so ``base[s] + a`` never indexes out of bounds.
     """
 
-    def __init__(self, base, check, value, n_symbols: int, max_len: int):
+    def __init__(self, base, check, value, n_symbols: int, max_len: int,
+                 inherit=None):
         self.base = base
         self.check = check
         self.value = value
+        self.inherit = inherit if inherit is not None else value
         self.n_symbols = n_symbols
         self.max_len = max_len
 
@@ -83,8 +88,8 @@ def build_trie(
     except Exception:
         result = None
     if result is not None:
-        base, check, value = result
-        return DoubleArrayTrie(base, check, value, n_symbols, max_len)
+        base, check, value, inherit = result
+        return DoubleArrayTrie(base, check, value, n_symbols, max_len, inherit)
     return _build_trie_python(patterns, n_symbols)
 
 
@@ -165,11 +170,41 @@ def _build_trie_python(
         while next_search < cap and check[next_search] != -1:
             next_search += 1
 
+    # failure links + inherited outputs (Aho-Corasick output resolution)
+    fail = {0: 0}
+    node_inherit = {0: -1}
+    bfs = deque()
+    for a, v in sorted(children[0].items()):
+        fail[v] = 0
+        node_inherit[v] = terminal[v]
+        bfs.append(v)
+    while bfs:
+        u = bfs.popleft()
+        for a, v in sorted(children[u].items()):
+            f = fail[u]
+            while True:
+                nxt = children[f].get(a)
+                if nxt is not None and nxt != v:
+                    fail[v] = nxt
+                    break
+                if f == 0:
+                    fail[v] = 0
+                    break
+                f = fail[f]
+            node_inherit[v] = (
+                terminal[v] if terminal[v] >= 0 else node_inherit[fail[v]]
+            )
+            bfs.append(v)
+
     # trim to last used slot + guard region
     used = np.nonzero(check != -1)[0]
     last = int(used[-1]) if len(used) else 0
     end = last + n_symbols + 2
+    inherit = np.full(end, -1, dtype=np.int32)
+    for node, slot in slot_of.items():
+        if slot < end:
+            inherit[slot] = node_inherit[node]
     return DoubleArrayTrie(
         base[:end].copy(), check[:end].copy(), value[:end].copy(),
-        n_symbols, max_len,
+        n_symbols, max_len, inherit,
     )

@@ -49,6 +49,7 @@ def _load() -> Optional[ctypes.CDLL]:
         ctypes.POINTER(ctypes.POINTER(ctypes.c_int32)),
         ctypes.POINTER(ctypes.POINTER(ctypes.c_int32)),
         ctypes.POINTER(ctypes.POINTER(ctypes.c_int32)),
+        ctypes.POINTER(ctypes.POINTER(ctypes.c_int32)),
         ctypes.POINTER(ctypes.c_int64),
     ]
     lib.vt_free.restype = None
@@ -87,6 +88,7 @@ def build_trie_native(
     base_p = ctypes.POINTER(ctypes.c_int32)()
     check_p = ctypes.POINTER(ctypes.c_int32)()
     value_p = ctypes.POINTER(ctypes.c_int32)()
+    inherit_p = ctypes.POINTER(ctypes.c_int32)()
     n_slots = ctypes.c_int64()
     rc = lib.vt_build_trie(
         flat.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
@@ -96,6 +98,7 @@ def build_trie_native(
         ctypes.byref(base_p),
         ctypes.byref(check_p),
         ctypes.byref(value_p),
+        ctypes.byref(inherit_p),
         ctypes.byref(n_slots),
     )
     if rc != 0:
@@ -104,10 +107,10 @@ def build_trie_native(
     base = np.ctypeslib.as_array(base_p, shape=(n,)).copy()
     check = np.ctypeslib.as_array(check_p, shape=(n,)).copy()
     value = np.ctypeslib.as_array(value_p, shape=(n,)).copy()
-    lib.vt_free(base_p)
-    lib.vt_free(check_p)
-    lib.vt_free(value_p)
-    return base, check, value
+    inherit = np.ctypeslib.as_array(inherit_p, shape=(n,)).copy()
+    for p in (base_p, check_p, value_p, inherit_p):
+        lib.vt_free(p)
+    return base, check, value, inherit
 
 
 def tensorize_native(

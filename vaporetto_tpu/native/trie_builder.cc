@@ -83,10 +83,14 @@ struct Builder {
 extern "C" {
 
 // Returns 0 on success. Outputs are malloc'd; caller frees with vt_free.
+// `inherit` is the Aho-Corasick output link resolved to a pattern id: for a
+// node with string s, the id of the longest pattern that is a suffix of s
+// (or -1). The device matcher gathers it once per position instead of
+// per-window-length, shortening the dependent-gather chain.
 int vt_build_trie(const int32_t* pattern_data, const int64_t* pattern_offsets,
                   int64_t n_patterns, int32_t n_symbols, int32_t** base_out,
                   int32_t** check_out, int32_t** value_out,
-                  int64_t* n_slots_out) {
+                  int32_t** inherit_out, int64_t* n_slots_out) {
   // ---- plain trie ----
   std::vector<TrieNode> nodes(1);
   for (int64_t p = 0; p < n_patterns; ++p) {
@@ -113,6 +117,48 @@ int vt_build_trie(const int32_t* pattern_data, const int64_t* pattern_offsets,
   }
   for (auto& n : nodes) {
     std::sort(n.children.begin(), n.children.end());
+  }
+
+  // ---- failure links + inherited outputs (BFS) ----
+  std::vector<int32_t> fail(nodes.size(), 0);
+  std::vector<int32_t> node_inherit(nodes.size(), -1);
+  {
+    std::queue<int32_t> bq;
+    node_inherit[0] = -1;
+    for (const auto& kv : nodes[0].children) {
+      fail[kv.second] = 0;
+      node_inherit[kv.second] = nodes[kv.second].value;
+      bq.push(kv.second);
+    }
+    while (!bq.empty()) {
+      int32_t u = bq.front();
+      bq.pop();
+      for (const auto& kv : nodes[u].children) {
+        int32_t a = kv.first, v = kv.second;
+        int32_t f = fail[u];
+        for (;;) {
+          int32_t nxt = -1;
+          for (const auto& fkv : nodes[f].children) {
+            if (fkv.first == a) {
+              nxt = fkv.second;
+              break;
+            }
+          }
+          if (nxt >= 0 && nxt != v) {
+            fail[v] = nxt;
+            break;
+          }
+          if (f == 0) {
+            fail[v] = 0;
+            break;
+          }
+          f = fail[f];
+        }
+        node_inherit[v] = nodes[v].value >= 0 ? nodes[v].value
+                                              : node_inherit[fail[v]];
+        bq.push(v);
+      }
+    }
   }
 
   // ---- double-array packing (BFS) ----
@@ -176,10 +222,16 @@ int vt_build_trie(const int32_t* pattern_data, const int64_t* pattern_offsets,
   *base_out = static_cast<int32_t*>(malloc(n_slots * sizeof(int32_t)));
   *check_out = static_cast<int32_t*>(malloc(n_slots * sizeof(int32_t)));
   *value_out = static_cast<int32_t*>(malloc(n_slots * sizeof(int32_t)));
-  if (!*base_out || !*check_out || !*value_out) return 2;
+  *inherit_out = static_cast<int32_t*>(malloc(n_slots * sizeof(int32_t)));
+  if (!*base_out || !*check_out || !*value_out || !*inherit_out) return 2;
   memcpy(*base_out, b.base.data(), n_slots * sizeof(int32_t));
   memcpy(*check_out, b.check.data(), n_slots * sizeof(int32_t));
   memcpy(*value_out, b.value.data(), n_slots * sizeof(int32_t));
+  for (int64_t i = 0; i < n_slots; ++i) (*inherit_out)[i] = -1;
+  for (size_t node = 0; node < nodes.size(); ++node) {
+    int64_t slot = slot_of[node];
+    if (slot >= 0) (*inherit_out)[slot] = node_inherit[node];
+  }
   *n_slots_out = n_slots;
   return 0;
 }

@@ -20,17 +20,22 @@ def match_longest(
     syms: jax.Array,  # (B, L) int32 projected symbols; 0 = OOV / padding
     base: jax.Array,  # (n_slots,) int32
     check: jax.Array,  # (n_slots,) int32
-    value: jax.Array,  # (n_slots,) int32 pattern id or -1
+    inherit: jax.Array,  # (n_slots,) int32 AC output link -> pattern id / -1
     max_len: int,
 ) -> jax.Array:
     """Return (B, L) int32: longest pattern id ending at each position, -1 if none.
 
     Equivalent to the reference's ``find_overlapping_no_suffix_iter`` match
     stream: at most one (the longest) pattern per end position.
+
+    Only the *deepest alive* trie node per position is tracked (2 gathers
+    per window length); the final answer is one ``inherit`` gather: every
+    pattern ending at position t is a suffix of the deepest alive window, so
+    the longest one is exactly that node's resolved Aho-Corasick output.
     """
     B, L = syms.shape
-    match = jnp.full((B, L), -1, dtype=jnp.int32)
     node = jnp.zeros((B, L), dtype=jnp.int32)  # window length 0 -> root
+    deepest = jnp.zeros((B, L), dtype=jnp.int32)
     n_slots = base.shape[0]
     sym_ok = syms > 0
     for k in range(1, max_len + 1):
@@ -46,6 +51,5 @@ def match_longest(
         cand = jnp.clip(cand, 0, n_slots - 1)
         ok = alive & sym_ok & (check[cand] == safe_prev)
         node = jnp.where(ok, cand, -1)
-        val = value[jnp.where(ok, cand, 0)]
-        match = jnp.where(ok & (val >= 0), val, match)
-    return match
+        deepest = jnp.where(ok, cand, deepest)
+    return inherit[deepest]  # inherit[root] == -1

@@ -35,7 +35,7 @@ def _table_bytes(compiled) -> int:
         total += compiled.char_sym_table.nbytes
     for m in (compiled.char_matcher, compiled.type_matcher):
         if m is not None:
-            total += m.base.nbytes + m.check.nbytes + m.value.nbytes
+            total += m.base.nbytes + m.check.nbytes + m.inherit.nbytes
             total += m.rows_first.nbytes + m.rows_cnt.nbytes
             total += m.w8.nbytes + m.off.nbytes
     if compiled.type_cache_table is not None:
@@ -47,11 +47,11 @@ def fused_available(compiled) -> bool:
     return _table_bytes(compiled) <= VMEM_TABLE_BUDGET
 
 
-def _match_longest_val(syms, base, check, value, max_len, n_slots):
+def _match_longest_val(syms, base, check, inherit, max_len, n_slots):
     """Same recurrence as ops.match.match_longest, on in-kernel values."""
     B, L = syms.shape
-    match = jnp.full((B, L), -1, dtype=jnp.int32)
     node = jnp.zeros((B, L), dtype=jnp.int32)
+    deepest = jnp.zeros((B, L), dtype=jnp.int32)
     sym_ok = syms > 0
     for k in range(1, max_len + 1):
         if k == 1:
@@ -63,9 +63,8 @@ def _match_longest_val(syms, base, check, value, max_len, n_slots):
         cand = jnp.clip(base[safe_prev] + syms, 0, n_slots - 1)
         ok = alive & sym_ok & (check[cand] == safe_prev)
         node = jnp.where(ok, cand, -1)
-        val = value[jnp.where(ok, cand, 0)]
-        match = jnp.where(ok & (val >= 0), val, match)
-    return match
+        deepest = jnp.where(ok, cand, deepest)
+    return inherit[deepest]
 
 
 def _shift_add_val(match, rf, rc, w8, off, distinct_offsets, scores, pad_left,
@@ -144,13 +143,13 @@ def build_fused_fn(compiled, B: int, L: int, *, interpret: bool = False,
     tables = []
     if has_char:
         m = c.char_matcher
-        tables += [c.char_sym_table, m.base, m.check, m.value, m.rows_first,
-                   m.rows_cnt, m.w8, m.off]
+        tables += [c.char_sym_table, m.base, m.check, m.inherit,
+                   m.rows_first, m.rows_cnt, m.w8, m.off]
     if has_tcache:
         tables.append(c.type_cache_table)
     if has_ttrie:
         m = c.type_matcher
-        tables += [m.base, m.check, m.value, m.rows_first, m.rows_cnt,
+        tables += [m.base, m.check, m.inherit, m.rows_first, m.rows_cnt,
                    m.w8, m.off]
     tables = [np.asarray(t, dtype=np.int32) for t in tables]
 

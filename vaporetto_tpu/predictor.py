@@ -63,14 +63,14 @@ class Predictor:
                 t["char_sym"] = jnp.asarray(c.char_sym_table)
                 t["char"] = tuple(
                     jnp.asarray(x)
-                    for x in (m.base, m.check, m.value, m.rows_first,
+                    for x in (m.base, m.check, m.inherit, m.rows_first,
                               m.rows_cnt, m.w8, m.off)
                 )
             if c.type_matcher is not None:
                 m = c.type_matcher
                 t["type"] = tuple(
                     jnp.asarray(x)
-                    for x in (m.base, m.check, m.value, m.rows_first,
+                    for x in (m.base, m.check, m.inherit, m.rows_first,
                               m.rows_cnt, m.w8, m.off)
                 )
             if c.type_cache_table is not None:
@@ -292,11 +292,11 @@ def _build_predict_fn(compiled: CompiledModel, tables):
         char_match = None
         type_match = None
         if "char" in tables:
-            base, check, value, rf, rc, w8, off = tables["char"]
+            base, check, inherit, rf, rc, w8, off = tables["char"]
             syms = tables["char_sym"][cps]
             # padding codepoints (0) project to symbol 0 = OOV
             char_match = match_longest(
-                syms, base, check, value, c.char_matcher.max_len
+                syms, base, check, inherit, c.char_matcher.max_len
             )
             scores = shift_add_scores(
                 char_match, rf, rc, w8, off, char_off_np, scores, pad_left,
@@ -308,11 +308,11 @@ def _build_predict_fn(compiled: CompiledModel, tables):
                 scores, pad_left,
             )
         elif "type" in tables:
-            base, check, value, rf, rc, w8, off = tables["type"]
+            base, check, inherit, rf, rc, w8, off = tables["type"]
             t_idx = jax.lax.broadcasted_iota(jnp.int32, cts.shape, 1)
             syms = jnp.where(t_idx < lengths[:, None], cts, 0)
             type_match = match_longest(
-                syms, base, check, value, c.type_matcher.max_len
+                syms, base, check, inherit, c.type_matcher.max_len
             )
             scores = shift_add_scores(
                 type_match, rf, rc, w8, off, type_off_np, scores, pad_left,
