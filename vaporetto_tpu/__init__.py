@@ -44,8 +44,28 @@ def __getattr__(name):
         from .models.model import Model
 
         return Model
+    if name == "WordWeightRecord":
+        from .models.model import WordWeightRecord
+
+        return WordWeightRecord
     if name == "Predictor":
         from .predictor import Predictor
 
         return Predictor
+    if name == "Trainer":
+        from .train.trainer import Trainer
+
+        return Trainer
+    if name == "SolverType":
+        from .train.trainer import SolverType
+
+        return SolverType
+    if name == "KyteaModel":
+        from .models.kytea import KyteaModel
+
+        return KyteaModel
+    if name == "VaporettoAnalyzer":
+        from .analyzer import VaporettoAnalyzer
+
+        return VaporettoAnalyzer
     raise AttributeError(f"module {__name__!r} has no attribute {name!r}")

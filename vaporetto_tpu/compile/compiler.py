@@ -194,12 +194,20 @@ def _build_type_cache_table(
     return scores.astype(np.int32)
 
 
-def compile_model(model: Model, predict_tags: bool = False) -> CompiledModel:
+def compile_model(
+    model: Model,
+    predict_tags: bool = False,
+    *,
+    prefer_type_trie: bool = False,
+) -> CompiledModel:
     """Compile a :class:`Model` into dense device tables.
 
     Follows the variant dispatch of the reference (char_scorer.rs:92-124,
     type_scorer.rs:103-144): the type side uses the precomputed cache table
     when ``window <= 3`` and no tag models exist, else the trie matcher.
+    ``prefer_type_trie`` forces the trie variant (a runtime analogue of the
+    reference's cache-type-score feature flag; identical scores, different
+    device cost profile).
     """
     n_tag_models = len(model.tag_models) if predict_tags else 0
     with_tags = predict_tags and n_tag_models > 0
@@ -257,7 +265,11 @@ def compile_model(model: Model, predict_tags: bool = False) -> CompiledModel:
     type_cache_table = None
     use_type = model.type_ngram_model and model.type_window_size > 0
     if use_type:
-        if not with_tags and model.type_window_size <= CACHE_MAX_WINDOW_SIZE:
+        if (
+            not with_tags
+            and not prefer_type_trie
+            and model.type_window_size <= CACHE_MAX_WINDOW_SIZE
+        ):
             # cache variant: merge duplicates only (no suffix merge needed,
             # the table enumerates raw overlapping occurrences)
             ngrams: List[Tuple[Tuple[int, ...], List[int]]] = []
