@@ -1,0 +1,88 @@
+"""End-to-end accuracy contract: train -> predict -> evaluate.
+
+The reference defines accuracy operationally via the evaluate CLI
+(SURVEY.md §3.3); here a synthetic vocabulary corpus with held-out
+evaluation pins that the whole loop (feature extraction, solver,
+quantization, compiled inference, metrics) learns real structure.
+"""
+
+import numpy as np
+import pytest
+
+from vaporetto_tpu.metrics import char_metric, word_metric
+from vaporetto_tpu.predictor import Predictor
+from vaporetto_tpu.sentence import Sentence
+from vaporetto_tpu.train.trainer import Trainer
+
+VOCAB = [
+    ("これ", "代名詞"), ("それ", "代名詞"), ("あれ", "代名詞"),
+    ("は", "助詞"), ("が", "助詞"), ("も", "助詞"), ("を", "助詞"),
+    ("テスト", "名詞"), ("犬", "名詞"), ("猫", "名詞"), ("家", "名詞"),
+    ("学校", "名詞"), ("先生", "名詞"), ("電車", "名詞"),
+    ("です", "助動詞"), ("でした", "助動詞"), ("だ", "助動詞"),
+    ("見る", "動詞"), ("食べる", "動詞"), ("行く", "動詞"),
+    ("大きい", "形容詞"), ("小さい", "形容詞"),
+]
+
+
+def make_corpus(rng, n_sentences, with_tags):
+    lines = []
+    for _ in range(n_sentences):
+        n_tok = int(rng.integers(3, 8))
+        toks = []
+        for _ in range(n_tok):
+            w, tag = VOCAB[int(rng.integers(0, len(VOCAB)))]
+            toks.append(f"{w}/{tag}" if with_tags else w)
+        lines.append(" ".join(toks))
+    return lines
+
+
+@pytest.mark.parametrize("solver", [0, 5])
+def test_heldout_f1(solver):
+    rng = np.random.default_rng(7)
+    train = make_corpus(rng, 300, with_tags=False)
+    test = make_corpus(rng, 50, with_tags=False)
+    trainer = Trainer(3, 3, 3, 3, [], 4)
+    for line in train:
+        trainer.add_example(Sentence.from_tokenized(line))
+    model = trainer.train(0.01, 1.0, solver)
+    pred = Predictor(model, False)
+
+    results = []
+    for line in test:
+        gold = Sentence.from_tokenized(line)
+        s = Sentence.from_raw(gold.as_raw_text())
+        pred.predict(s)
+        results.append(
+            ([int(b) for b in gold.boundaries], None,
+             [int(b) for b in s.boundaries], None)
+        )
+    m = char_metric(results)
+    assert m.f1 > 0.95, f"solver {solver}: char F1 {m.f1}"
+
+
+def test_heldout_word_f1_with_tags():
+    rng = np.random.default_rng(11)
+    train = make_corpus(rng, 300, with_tags=True)
+    test = make_corpus(rng, 40, with_tags=True)
+    trainer = Trainer(3, 3, 3, 3, [], 4)
+    for line in train:
+        trainer.add_example(Sentence.from_tokenized(line))
+    model = trainer.train(0.01, 1.0, 5)
+    pred = Predictor(model, True)
+
+    results = []
+    for line in test:
+        gold = Sentence.from_tokenized(line)
+        n = gold.n_tags
+        ref_b = [int(b) for b in gold.boundaries]
+        ref_t = [gold.tags[i * n : (i + 1) * n] for i in range(len(ref_b) + 1)]
+        s = Sentence.from_raw(gold.as_raw_text())
+        pred.predict(s)
+        s.fill_tags()
+        sys_b = [int(b) for b in s.boundaries]
+        k = s.n_tags
+        sys_t = [s.tags[i * k : (i + 1) * k] for i in range(len(sys_b) + 1)]
+        results.append((ref_b, ref_t, sys_b, sys_t))
+    m = word_metric(results)
+    assert m.f1 > 0.9, f"word F1 with tags {m.f1}"
