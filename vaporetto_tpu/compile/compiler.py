@@ -74,6 +74,19 @@ class CompiledModel:
     type_cache_table: Optional[np.ndarray]  # int32[8**(2w)] or None
     tag_meta: Optional[CompiledTagMeta]
     n_tags: int
+    # hash projection: slot = (cp * hash_mul) >>_logical hash_shift;
+    # valid iff hash_keys[slot] == cp, symbol = hash_syms[slot].
+    # Replaces the dense MAX_CODEPOINT gather with two small-table gathers
+    # (large-table gathers are the TPU bottleneck; see ops/match.py).
+    char_hash_mul: int = 0
+    char_hash_shift: int = 0
+    char_hash_keys: Optional[np.ndarray] = None  # int32[P], -1 = empty
+    char_hash_syms: Optional[np.ndarray] = None  # int32[P]
+    # positional type tables: score(gap) += sum_j T[j, code_j] where code_j
+    # packs M window symbols starting at window offset j. Decomposition of
+    # type_cache_table into 2w small tables (same scores).
+    type_pos_tables: Optional[np.ndarray] = None  # int32[2w, 8**M]
+    type_pos_m: int = 0
 
 
 def _pack_weight_rows(
@@ -155,6 +168,70 @@ def _build_matcher(
     )
 
 
+def _build_char_hash(sym_of: Dict[int, int]):
+    """Collision-free multiplicative hash over the model's codepoints.
+
+    Returns (mul, shift, keys, syms) with table size the smallest power of
+    two giving an injective ``(cp * mul) >> shift`` over the keys.
+    """
+    cps = np.array(sorted(sym_of), dtype=np.uint64)
+    n = max(len(cps), 1)
+    m_bits = max(4, int(np.ceil(np.log2(n * 2))))
+    rng = np.random.default_rng(0x5EED)
+    while m_bits <= 24:
+        shift = 32 - m_bits
+        for _ in range(64):
+            mul = int(rng.integers(0, 2**31)) * 2 + 1
+            slots = ((cps * np.uint64(mul)) & np.uint64(0xFFFFFFFF)) >> np.uint64(shift)
+            if len(np.unique(slots)) == len(cps):
+                P = 1 << m_bits
+                keys = np.full(P, -1, dtype=np.int32)
+                syms = np.zeros(P, dtype=np.int32)
+                for cp, slot in zip(cps, slots):
+                    keys[slot] = int(cp)
+                    syms[slot] = sym_of[int(cp)]
+                # two's-complement signed form for int32 device arithmetic
+                mul_signed = mul - 2**32 if mul >= 2**31 else mul
+                return mul_signed, shift, keys, syms
+        m_bits += 1
+    raise invalid_model("could not build hash projection")
+
+
+def _build_type_pos_tables(
+    ngrams: List[Tuple[Tuple[int, ...], List[int]]], window_size: int
+) -> Optional[Tuple[np.ndarray, int]]:
+    """Decompose window scoring into per-start-offset tables.
+
+    ``score(gap) = sum_j T[j, code(types[start_j .. start_j+M-1])]`` where
+    each n-gram occurrence (start j, length n <= M) contributes its weight
+    to every code whose first n symbols equal the n-gram — numerically
+    identical to the 8^(2w) cache table but using 2w tables of 8^M entries
+    (small-table gathers are fast on TPU; one big-table gather is not).
+    """
+    seq = 2 * window_size
+    M = max((len(g) for g, _ in ngrams), default=1)
+    if M > 4 or M > seq:
+        return None
+    tables = np.zeros((seq, 8**M), dtype=np.int64)
+    codes = np.arange(8**M, dtype=np.int64)
+    for ngram, weights in ngrams:
+        n = len(ngram)
+        prefix = 0
+        for a in ngram:
+            prefix = prefix * 8 + a
+        # codes with this prefix: prefix * 8^(M-n) + anything
+        lo = prefix * 8 ** (M - n)
+        hi = lo + 8 ** (M - n)
+        for j in range(0, seq - n + 1):
+            w_idx = seq - (j + n)
+            if w_idx >= len(weights):
+                continue
+            tables[j, lo:hi] += weights[w_idx]
+    if (np.abs(tables) > 2**31 - 1).any():
+        return None
+    return tables.astype(np.int32), M
+
+
 def _build_type_cache_table(
     ngrams: List[Tuple[Tuple[int, ...], List[int]]], window_size: int
 ) -> np.ndarray:
@@ -215,6 +292,8 @@ def compile_model(
     # ------------------------------------------------------------------ char
     char_matcher = None
     char_sym_table = None
+    char_hash = None
+    type_pos = None
     use_char = (
         (model.char_ngram_model or model.dict_model)
         and model.char_window_size > 0
@@ -252,6 +331,7 @@ def compile_model(
         char_sym_table = np.zeros(MAX_CODEPOINT, dtype=np.int32)
         for cp, sym in sym_of.items():
             char_sym_table[cp] = sym
+        char_hash = _build_char_hash(sym_of)
         merged_proj = [
             (tuple(sym_of[cp] for cp in key), w) for key, w in merged
         ]
@@ -289,6 +369,7 @@ def compile_model(
             type_cache_table = _build_type_cache_table(
                 ngrams, model.type_window_size
             )
+            type_pos = _build_type_pos_tables(ngrams, model.type_window_size)
         else:
             merger = WeightMerger()
             for d in model.type_ngram_model:
@@ -345,4 +426,10 @@ def compile_model(
         type_cache_table=type_cache_table,
         tag_meta=tag_meta,
         n_tags=n_tags,
+        char_hash_mul=char_hash[0] if char_hash else 0,
+        char_hash_shift=char_hash[1] if char_hash else 0,
+        char_hash_keys=char_hash[2] if char_hash else None,
+        char_hash_syms=char_hash[3] if char_hash else None,
+        type_pos_tables=type_pos[0] if type_pos else None,
+        type_pos_m=type_pos[1] if type_pos else 0,
     )

@@ -13,7 +13,27 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-__all__ = ["match_longest"]
+__all__ = ["match_longest", "hash_project"]
+
+
+def hash_project(
+    cps: jax.Array,  # (B, L) int32 codepoints (0 = padding)
+    mul: int,
+    shift: int,
+    keys: jax.Array,  # (P,) int32 codepoint per slot, -1 = empty
+    syms: jax.Array,  # (P,) int32 symbol id per slot
+) -> jax.Array:
+    """Codepoint -> symbol projection via a collision-free multiplicative
+    hash into small tables.
+
+    Numerically identical to the dense ``char_sym_table[cps]`` gather, but
+    the tables are a few KB instead of 4 MB — large-table gathers are the
+    dominant cost of the XLA pipeline on TPU.
+    """
+    h = cps * jnp.int32(mul)  # wrapping int32 mul == low 32 bits of u32 mul
+    slot = jax.lax.shift_right_logical(h, jnp.int32(shift))
+    hit = keys[slot] == cps
+    return jnp.where(hit, syms[slot], 0)
 
 
 def match_longest(

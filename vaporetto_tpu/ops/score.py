@@ -99,6 +99,50 @@ def scatter_add_scores(
     return scores
 
 
+def type_pos_scores(
+    char_types: jax.Array,  # (B, L) int32 type codes 1..6, 0 = padding
+    lengths: jax.Array,  # (B,) int32 true sentence lengths
+    tables: jax.Array,  # (2w, 8**M) int32 per-start-offset tables
+    window_size: int,
+    m_sym: int,  # symbols per code (M)
+    scores: jax.Array,  # (B, S) int32 padded score buffer
+    pad_left: int,
+) -> jax.Array:
+    """Type scoring via per-start-offset small tables.
+
+    Same scores as :func:`type_cache_scores` (see the compiler's
+    decomposition _build_type_pos_tables) but every gather hits a table of
+    8^M entries (2-16 KB) instead of one 8^(2w) monster — the large-table
+    gather is the TPU bottleneck.
+    """
+    B, L = char_types.shape
+    w = window_size
+    seq = 2 * w
+    t_idx = jax.lax.broadcasted_iota(jnp.int32, (B, L), 1)
+    ct = jnp.where(t_idx < lengths[:, None], char_types.astype(jnp.int32), 0)
+
+    def shifted(shift):
+        if shift <= 0:
+            return jnp.pad(
+                ct[:, : L + shift] if shift < 0 else ct,
+                ((0, 0), (-shift, 0)),
+                constant_values=0,
+            )
+        return jnp.pad(ct[:, shift:], ((0, 0), (0, shift)), constant_values=0)
+
+    # window position x corresponds to char index gap_i + (x - (w - 1))
+    shifts = {x: shifted(x - (w - 1)) for x in range(seq + m_sym - 1)}
+    gap_scores = jnp.zeros((B, L), dtype=jnp.int32)
+    for j in range(seq):
+        code = jnp.zeros((B, L), dtype=jnp.int32)
+        for m in range(m_sym):
+            code = (code << 3) | shifts[j + m]
+        gap_scores = gap_scores + tables[j][code]
+    gap_ok = t_idx < (lengths[:, None] - 1)
+    gap_scores = jnp.where(gap_ok, gap_scores, 0)
+    return scores.at[:, pad_left : pad_left + L].add(gap_scores)
+
+
 def type_cache_scores(
     char_types: jax.Array,  # (B, L) int32 type codes 1..6, 0 = padding
     lengths: jax.Array,  # (B,) int32 true sentence lengths

@@ -60,7 +60,13 @@ class Predictor:
             t = {}
             if c.char_matcher is not None:
                 m = c.char_matcher
-                t["char_sym"] = jnp.asarray(c.char_sym_table)
+                if c.char_hash_keys is not None:
+                    t["char_hash"] = (
+                        jnp.asarray(c.char_hash_keys),
+                        jnp.asarray(c.char_hash_syms),
+                    )
+                else:
+                    t["char_sym"] = jnp.asarray(c.char_sym_table)
                 t["char"] = tuple(
                     jnp.asarray(x)
                     for x in (m.base, m.check, m.inherit, m.rows_first,
@@ -73,7 +79,9 @@ class Predictor:
                     for x in (m.base, m.check, m.inherit, m.rows_first,
                               m.rows_cnt, m.w8, m.off)
                 )
-            if c.type_cache_table is not None:
+            if c.type_pos_tables is not None:
+                t["type_pos"] = jnp.asarray(c.type_pos_tables)
+            elif c.type_cache_table is not None:
                 t["type_cache"] = jnp.asarray(c.type_cache_table)
             self._device_tables = t
         return self._device_tables
@@ -275,8 +283,8 @@ def _build_predict_fn(compiled: CompiledModel, tables):
     import jax
     import jax.numpy as jnp
 
-    from .ops.match import match_longest
-    from .ops.score import shift_add_scores, type_cache_scores
+    from .ops.match import hash_project, match_longest
+    from .ops.score import shift_add_scores, type_cache_scores, type_pos_scores
 
     c = compiled
     pad_left = c.pad_left
@@ -293,7 +301,13 @@ def _build_predict_fn(compiled: CompiledModel, tables):
         type_match = None
         if "char" in tables:
             base, check, inherit, rf, rc, w8, off = tables["char"]
-            syms = tables["char_sym"][cps]
+            if "char_hash" in tables:
+                keys, hsyms = tables["char_hash"]
+                syms = hash_project(
+                    cps, c.char_hash_mul, c.char_hash_shift, keys, hsyms
+                )
+            else:
+                syms = tables["char_sym"][cps]
             # padding codepoints (0) project to symbol 0 = OOV
             char_match = match_longest(
                 syms, base, check, inherit, c.char_matcher.max_len
@@ -302,7 +316,12 @@ def _build_predict_fn(compiled: CompiledModel, tables):
                 char_match, rf, rc, w8, off, char_off_np, scores, pad_left,
                 c.char_matcher.max_chunks,
             )
-        if "type_cache" in tables:
+        if "type_pos" in tables:
+            scores = type_pos_scores(
+                cts, lengths, tables["type_pos"], c.type_window_size,
+                c.type_pos_m, scores, pad_left,
+            )
+        elif "type_cache" in tables:
             scores = type_cache_scores(
                 cts, lengths, tables["type_cache"], c.type_window_size,
                 scores, pad_left,
