@@ -58,15 +58,39 @@ class Predictor:
 
             c = self.compiled
             t = {}
+            import os
+
+            # Benchmarking on TPU v5e showed the XLA cost is per gather op,
+            # not per table byte: one dense-table gather beats several
+            # small-table gathers. The hash/positional variants remain
+            # opt-in for experimentation on other backends.
+            use_small_tables = (
+                os.environ.get("VAPORETTO_TPU_SMALL_TABLES") == "1"
+            )
             if c.char_matcher is not None:
                 m = c.char_matcher
-                if c.char_hash_keys is not None:
+                if use_small_tables and c.char_hash_keys is not None:
                     t["char_hash"] = (
                         jnp.asarray(c.char_hash_keys),
                         jnp.asarray(c.char_hash_syms),
                     )
                 else:
-                    t["char_sym"] = jnp.asarray(c.char_sym_table)
+                    # shrink the projection table to keep it VMEM-resident:
+                    # practical models have only BMP pattern chars, so a
+                    # 64Ki-entry table in the narrowest dtype suffices
+                    # (astral input chars are OOV -> symbol 0)
+                    sym_tab = c.char_sym_table
+                    bmp_only = not sym_tab[0x10000:].any()
+                    n_syms = int(sym_tab.max())
+                    if bmp_only:
+                        small = sym_tab[:0x10000]
+                        if n_syms <= 255:
+                            small = small.astype(np.uint8)
+                        elif n_syms <= 32767:
+                            small = small.astype(np.int16)
+                        t["char_sym_bmp"] = jnp.asarray(small)
+                    else:
+                        t["char_sym"] = jnp.asarray(c.char_sym_table)
                 t["char"] = tuple(
                     jnp.asarray(x)
                     for x in (m.base, m.check, m.inherit, m.rows_first,
@@ -79,7 +103,7 @@ class Predictor:
                     for x in (m.base, m.check, m.inherit, m.rows_first,
                               m.rows_cnt, m.w8, m.off)
                 )
-            if c.type_pos_tables is not None:
+            if use_small_tables and c.type_pos_tables is not None:
                 t["type_pos"] = jnp.asarray(c.type_pos_tables)
             elif c.type_cache_table is not None:
                 t["type_cache"] = jnp.asarray(c.type_cache_table)
@@ -305,6 +329,12 @@ def _build_predict_fn(compiled: CompiledModel, tables):
                 keys, hsyms = tables["char_hash"]
                 syms = hash_project(
                     cps, c.char_hash_mul, c.char_hash_shift, keys, hsyms
+                )
+            elif "char_sym_bmp" in tables:
+                bmp = cps < 0x10000
+                safe = jnp.where(bmp, cps, 0)
+                syms = jnp.where(
+                    bmp, tables["char_sym_bmp"][safe].astype(jnp.int32), 0
                 )
             else:
                 syms = tables["char_sym"][cps]
