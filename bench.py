@@ -36,7 +36,7 @@ def main() -> int:
     model = Model.read("/root/reference/resources/model.bin")
     pred = Predictor(model, predict_tags=False)
 
-    B, L = 512, 256  # ~128k chars per batch
+    B, L = 8192, 256  # ~2M chars per batch (saturates the chip)
     rng = np.random.default_rng(42)
     pools = np.concatenate([
         np.arange(0x3041, 0x3097),  # hiragana

@@ -30,20 +30,31 @@ def make_mesh(n_devices: int | None = None, axis: str = "dp"):
 def shard_predict_fn(predictor, mesh, axis: str = "dp"):
     """Jit the predictor's batch function with batch sharded over the mesh.
 
-    Model tables are closed over (replicated); inputs/outputs are sharded on
-    the batch dimension. Batch size must be divisible by mesh size.
+    Model tables are passed as replicated device arguments (never baked as
+    jit constants — see predictor._build_predict_fn); inputs/outputs are
+    sharded on the batch dimension. Batch size must be divisible by mesh
+    size.
     """
     import jax
     from jax.sharding import NamedSharding, PartitionSpec as P
 
-    fn = predictor.predict_raw_fn()
+    traced, tables = predictor.predict_traced_fn()
     batch_sharding = NamedSharding(mesh, P(axis, None))
     vec_sharding = NamedSharding(mesh, P(axis))
-    return jax.jit(
-        fn,
-        in_shardings=(batch_sharding, batch_sharding, vec_sharding),
+    rep = NamedSharding(mesh, P())
+    table_shardings = jax.tree.map(lambda _: rep, tables)
+    jitted = jax.jit(
+        traced,
+        in_shardings=(batch_sharding, batch_sharding, vec_sharding,
+                      table_shardings),
         out_shardings=None,
     )
+    tables_rep = jax.device_put(tables, table_shardings)
+
+    def fn(cps, cts, lengths):
+        return jitted(cps, cts, lengths, tables_rep)
+
+    return fn
 
 
 def train_step_dryrun(mesh, axis: str = "dp") -> None:

@@ -111,12 +111,10 @@ class Predictor:
         return self._device_tables
 
     def _predict_fn(self, B: int, L: int):
-        import jax
-
         key = (B, L)
         fn = self._jit_cache.get(key)
         if fn is None:
-            fn = jax.jit(_build_predict_fn(self.compiled, self._tables()))
+            fn = _build_predict_fn(self.compiled, self._tables())
             self._jit_cache[key] = fn
         return fn
 
@@ -125,9 +123,31 @@ class Predictor:
 
         Signature: ``fn(codepoints, char_types, lengths) ->
         (padded_scores, char_match, type_match)``. Used by the benchmark
-        harness and the sharded data-parallel path.
+        harness and the driver's compile check.
         """
-        return _build_predict_fn(self.compiled, self._tables())
+        tables = self._tables()
+        c = self.compiled
+        char_off_np = c.char_matcher.off if c.char_matcher is not None else None
+        type_off_np = c.type_matcher.off if c.type_matcher is not None else None
+        traced = _make_traced_fn(c, char_off_np, type_off_np)
+
+        def fn(cps, cts, lengths):
+            return traced(cps, cts, lengths, tables)
+
+        return fn
+
+    def predict_traced_fn(self):
+        """The 4-arg traced function and its device-table pytree.
+
+        ``fn(cps, cts, lengths, tables)`` — tables must be passed as
+        arguments (never closed over) so jit treats them as device inputs;
+        used by the sharded data-parallel path which jits with explicit
+        shardings.
+        """
+        c = self.compiled
+        char_off_np = c.char_matcher.off if c.char_matcher is not None else None
+        type_off_np = c.type_matcher.off if c.type_matcher is not None else None
+        return _make_traced_fn(c, char_off_np, type_off_np), self._tables()
 
     # ------------------------------------------------------------------
     # prediction
@@ -304,20 +324,39 @@ def _fill_token_tags(
 
 
 def _build_predict_fn(compiled: CompiledModel, tables):
+    """Build the batch predict function.
+
+    The model tables are passed as ARGUMENTS into the traced function (via a
+    closure that forwards the device-array pytree), never closed over as
+    jit constants: on the axon TPU backend, constants embedded in the
+    executable are re-shipped through the tunnel on every invocation, which
+    made each large table cost ~16 ms *per call* (~50x the actual gather).
+    """
+    import jax
+
+    c = compiled
+    char_off_np = c.char_matcher.off if c.char_matcher is not None else None
+    type_off_np = c.type_matcher.off if c.type_matcher is not None else None
+    traced = jax.jit(_make_traced_fn(c, char_off_np, type_off_np))
+
+    def fn(cps, cts, lengths):
+        return traced(cps, cts, lengths, tables)
+
+    return fn
+
+
+def _make_traced_fn(c, char_off_np, type_off_np):
     import jax
     import jax.numpy as jnp
 
     from .ops.match import hash_project, match_longest
     from .ops.score import shift_add_scores, type_cache_scores, type_pos_scores
 
-    c = compiled
     pad_left = c.pad_left
     pad_right = c.pad_right
     bias = c.bias
-    char_off_np = c.char_matcher.off if c.char_matcher is not None else None
-    type_off_np = c.type_matcher.off if c.type_matcher is not None else None
 
-    def fn(cps, cts, lengths):
+    def fn(cps, cts, lengths, tables):
         B, L = cps.shape
         S = pad_left + (L - 1) + pad_right
         scores = jnp.full((B, S), bias, dtype=jnp.int32)
