@@ -1,15 +1,23 @@
 """Benchmark harness.
 
-Measures end-to-end boundary-prediction throughput (device compute over
-pre-staged batches) with the bundled reference model, on whatever device
-JAX finds (the real TPU chip under the driver).
+Measures sustained boundary-prediction device throughput with the bundled
+reference model on whatever device JAX finds (the real TPU chip under the
+driver).
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 
+Infra note (axon tunnel): the FIRST device->host readback in a process
+permanently switches the tunnel into a synchronous mode where every
+dispatch costs a ~16 ms round trip, regardless of the computation
+(verified empirically; host->device transfers and block_until_ready are
+unaffected). The timing loop therefore performs no readbacks — inputs are
+staged with device_put, iterations synchronize via block_until_ready, and
+result verification happens after timing.
+
 Baseline note: the reference publishes wall times on an unspecified wiki
 corpus (BASELINE.md). The best public estimate of Vaporetto's single-core
-throughput on commodity hardware is ~40M chars/s (0.02529 s for the wiki
-benchmark corpus); vs_baseline reports our chars/s against that estimate.
+throughput on commodity hardware is ~40M chars/s; vs_baseline reports our
+chars/s against that estimate.
 """
 
 from __future__ import annotations
@@ -36,7 +44,7 @@ def main() -> int:
     model = Model.read("/root/reference/resources/model.bin")
     pred = Predictor(model, predict_tags=False)
 
-    B, L = 8192, 256  # ~2M chars per batch (saturates the chip)
+    B, L = 8192, 256  # ~2M chars per batch
     rng = np.random.default_rng(42)
     pools = np.concatenate([
         np.arange(0x3041, 0x3097),  # hiragana
@@ -45,7 +53,7 @@ def main() -> int:
         np.arange(0x30, 0x3A),      # digits
     ]).astype(np.int32)
     cps = pools[rng.integers(0, len(pools), size=(B, L))].astype(np.int32)
-    cts = char_types_of_codepoints(cps).astype(np.int32)
+    cts = char_types_of_codepoints(cps).astype(np.int32)  # host-side
     lengths = np.full(B, L, dtype=np.int32)
 
     fn = pred._predict_fn(B, L)
@@ -53,16 +61,20 @@ def main() -> int:
     cts_d = jax.device_put(cts)
     len_d = jax.device_put(lengths)
 
-    # warm up / compile
+    # warm up / compile (block_until_ready does not trigger a readback)
     out = fn(cps_d, cts_d, len_d)
     jax.block_until_ready(out)
 
-    n_iter = 30
+    n_iter = 100
     t0 = time.perf_counter()
     for _ in range(n_iter):
         out = fn(cps_d, cts_d, len_d)
     jax.block_until_ready(out)
     dt = time.perf_counter() - t0
+
+    # post-timing sanity readback (this is the process's first d2h)
+    scores = np.asarray(out[0])
+    assert scores.shape[0] == B and scores.any()
 
     chars = B * L * n_iter
     chars_per_sec = chars / dt
