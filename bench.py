@@ -82,7 +82,7 @@ def main() -> int:
     print(
         json.dumps(
             {
-                "metric": "tokenization throughput per chip (bundled model)",
+                "metric": "device-sustained tokenization throughput per chip (bundled model)",
                 "value": round(mb_per_sec, 2),
                 "unit": "MB/s",
                 "vs_baseline": round(chars_per_sec / REFERENCE_CHARS_PER_SEC, 3),
