@@ -90,6 +90,29 @@ class TestCLI:
             "火星/名詞/カセー 猫/名詞/ネコ だ/助動詞/ダ\n"
         )
 
+    def test_predict_cli_scores_and_tag_scores(self):
+        out = subprocess.run(
+            [sys.executable, "-m", "vaporetto_tpu.cli.predict",
+             "--model", MODEL_BIN, "--predict-tags", "--scores",
+             "--tag-scores"],
+            input="まぁ社長は火星猫だ\n",
+            capture_output=True, text=True, timeout=560,
+            env={"PATH": "/usr/bin:/bin", "JAX_PLATFORMS": "cpu",
+                 "PYTHONPATH": "/root/repo", "HOME": "/root"},
+        )
+        assert out.returncode == 0, out.stderr
+        lines = out.stdout.splitlines()
+        # tokenized line, then per-gap scores "i:ab score"
+        assert lines[0].startswith("まぁ/名詞/マー")
+        assert lines[1].startswith("0:まぁ ")
+        assert all(":" in l for l in lines[1:9])
+        # tag-scores block: token\ttag:score,... (reference format)
+        tag_lines = [l for l in lines if "\t" in l]
+        assert any(l.startswith("まぁ\t") for l in tag_lines)
+        first = [l for l in tag_lines if l.startswith("まぁ\t")][0]
+        cands = first.split("\t")[1]
+        assert "名詞:" in cands and "," in cands
+
     def test_evaluate_cli(self):
         with open(DOCS_TOK) as f:
             docs = f.read()
