@@ -157,6 +157,49 @@ class TestTrainRoundTrip:
         trainer = Trainer(3, 3, 3, 3, [], 4)
         trainer.add_example(Sentence.from_partial_annotation("こ-れ|は テ-ス-ト"))
         # Unknown gap included as third label
-        assert 2 in trainer.ys
+        if trainer._native is not None:
+            _, _, ys = trainer._native.export()
+            assert 2 in ys.tolist()
+        else:
+            assert 2 in trainer.ys
         model = trainer.train(0.01, 1.0, 0)
         assert model.char_window_size == 3
+
+    def test_native_matches_python_extractor(self, monkeypatch):
+        """The C++ extractor must produce an identical trained model."""
+        corpus = CORPUS + ["これ は 追加 の 文"]
+
+        def train_with(env):
+            if env:
+                monkeypatch.setenv("VAPORETTO_TPU_PY_EXTRACTOR", "1")
+            else:
+                monkeypatch.delenv("VAPORETTO_TPU_PY_EXTRACTOR", raising=False)
+            t = Trainer(3, 3, 3, 3, ["テスト", "これ"], 4)
+            for line in corpus:
+                t.add_example(Sentence.from_tokenized(line))
+            return t, t.train(0.01, 1.0, 5)
+
+        t_py, m_py = train_with(True)
+        t_nat, m_nat = train_with(False)
+        assert t_nat._native is not None and t_py._native is None
+        assert t_py.n_features() == t_nat.n_features()
+        # identical feature sets; weights may differ by float summation
+        # order in the solver, so compare structurally + by predictions
+        assert [d.ngram for d in m_py.char_ngram_model] == [
+            d.ngram for d in m_nat.char_ngram_model
+        ]
+        assert [d.ngram for d in m_py.type_ngram_model] == [
+            d.ngram for d in m_nat.type_ngram_model
+        ]
+        assert [r.word for r in m_py.dict_model] == [
+            r.word for r in m_nat.dict_model
+        ]
+        pred_py = Predictor(m_py)
+        pred_nat = Predictor(m_nat)
+        for line in corpus:
+            gold = Sentence.from_tokenized(line)
+            a = Sentence.from_raw(gold.as_raw_text())
+            b = Sentence.from_raw(gold.as_raw_text())
+            pred_py.predict(a)
+            pred_nat.predict(b)
+            assert np.array_equal(a.boundaries, b.boundaries), line

@@ -64,8 +64,135 @@ def _load() -> Optional[ctypes.CDLL]:
         ctypes.POINTER(ctypes.c_uint8),
         ctypes.POINTER(ctypes.c_int32),
     ]
+    lib.vt_extr_new.restype = ctypes.c_void_p
+    lib.vt_extr_new.argtypes = [
+        ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+        ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int64),
+        ctypes.c_int64,
+    ]
+    lib.vt_extr_add.restype = ctypes.c_int
+    lib.vt_extr_add.argtypes = [
+        ctypes.c_void_p, ctypes.POINTER(ctypes.c_int32),
+        ctypes.POINTER(ctypes.c_uint8), ctypes.POINTER(ctypes.c_uint8),
+        ctypes.c_int64,
+    ]
+    for name in ("vt_extr_n_features", "vt_extr_n_examples",
+                 "vt_extr_max_nnz", "vt_extr_keys_size"):
+        getattr(lib, name).restype = ctypes.c_int64
+        getattr(lib, name).argtypes = [ctypes.c_void_p]
+    lib.vt_extr_export.restype = ctypes.c_int
+    lib.vt_extr_export.argtypes = [
+        ctypes.c_void_p, ctypes.c_int64, ctypes.POINTER(ctypes.c_int32),
+        ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_int32),
+    ]
+    lib.vt_extr_export_keys.restype = None
+    lib.vt_extr_export_keys.argtypes = [
+        ctypes.c_void_p, ctypes.POINTER(ctypes.c_uint8),
+        ctypes.POINTER(ctypes.c_int64),
+    ]
+    lib.vt_extr_free.restype = None
+    lib.vt_extr_free.argtypes = [ctypes.c_void_p]
     _lib = lib
     return _lib
+
+
+class NativeExtractor:
+    """ctypes wrapper for the C++ boundary-feature extractor."""
+
+    def __init__(self, charw, charn, typew, typen, dictn, dict_words):
+        lib = _load()
+        if lib is None:
+            raise RuntimeError("native library unavailable")
+        self._lib = lib
+        offsets = np.zeros(len(dict_words) + 1, dtype=np.int64)
+        for i, w in enumerate(dict_words):
+            offsets[i + 1] = offsets[i] + len(w)
+        flat = np.zeros(max(int(offsets[-1]), 1), dtype=np.int32)
+        for i, w in enumerate(dict_words):
+            flat[offsets[i] : offsets[i + 1]] = [ord(c) for c in w]
+        self._h = lib.vt_extr_new(
+            charw, charn, typew, typen, dictn,
+            flat.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+            offsets.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+            len(dict_words),
+        )
+
+    def add(self, codepoints: np.ndarray, char_types: np.ndarray,
+            boundaries: np.ndarray) -> None:
+        cps = np.ascontiguousarray(codepoints, dtype=np.int32)
+        cts = np.ascontiguousarray(char_types, dtype=np.uint8)
+        bnd = np.ascontiguousarray(boundaries, dtype=np.uint8)
+        rc = self._lib.vt_extr_add(
+            self._h,
+            cps.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+            cts.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+            bnd.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+            len(cps),
+        )
+        if rc != 0:
+            raise RuntimeError("native extractor failed")
+
+    @property
+    def n_features(self) -> int:
+        return self._lib.vt_extr_n_features(self._h)
+
+    @property
+    def n_examples(self) -> int:
+        return self._lib.vt_extr_n_examples(self._h)
+
+    def export(self):
+        """Return (idx, val, labels) padded arrays."""
+        n = self._lib.vt_extr_n_examples(self._h)
+        K = max(self._lib.vt_extr_max_nnz(self._h), 1)
+        idx = np.zeros((n, K), dtype=np.int32)
+        val = np.zeros((n, K), dtype=np.float32)
+        y = np.zeros(n, dtype=np.int32)
+        rc = self._lib.vt_extr_export(
+            self._h, K,
+            idx.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+            val.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+            y.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        )
+        if rc != 0:
+            raise RuntimeError("native extractor export failed")
+        return idx, val, y
+
+    def export_keys(self):
+        """Return the feature key of each id (1-based order) as decoded
+        tuples matching the Python trainer's feature keys."""
+        nf = self._lib.vt_extr_n_features(self._h)
+        size = self._lib.vt_extr_keys_size(self._h)
+        blob = np.zeros(max(size, 1), dtype=np.uint8)
+        offsets = np.zeros(nf + 1, dtype=np.int64)
+        self._lib.vt_extr_export_keys(
+            self._h,
+            blob.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+            offsets.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        )
+        raw = blob.tobytes()
+        keys = []
+        for i in range(nf):
+            b = raw[offsets[i] : offsets[i + 1]]
+            kind = b[0]
+            if kind == 0x01:
+                cps = np.frombuffer(b[1:-4], dtype=np.int32)
+                rel = int(np.frombuffer(b[-4:], dtype=np.int32)[0])
+                keys.append(("c", "".join(chr(c) for c in cps), rel))
+            elif kind == 0x02:
+                rel = int(np.frombuffer(b[-4:], dtype=np.int32)[0])
+                keys.append(("t", b[1:-4], rel))
+            else:
+                length = int(np.frombuffer(b[1:5], dtype=np.int32)[0])
+                keys.append(
+                    ({0x03: "dl", 0x04: "di", 0x05: "dr"}[kind], length)
+                )
+        return keys
+
+    def __del__(self):
+        try:
+            self._lib.vt_extr_free(self._h)
+        except Exception:
+            pass
 
 
 def available() -> bool:

@@ -25,6 +25,7 @@ bitwise parity — documented substitution).
 
 from __future__ import annotations
 
+import os
 from typing import Dict, List, Optional, Sequence, Tuple
 
 import numpy as np
@@ -89,6 +90,17 @@ class Trainer:
         self.feature_ids: Dict[tuple, int] = {}
         self.xs: List[List[Tuple[int, float]]] = []
         self.ys: List[int] = []
+        self._native = None
+        if os.environ.get("VAPORETTO_TPU_PY_EXTRACTOR") != "1":
+            try:
+                from ..native import NativeExtractor
+
+                self._native = NativeExtractor(
+                    char_window_size, char_ngram_size, type_window_size,
+                    type_ngram_size, dict_word_max_len, self.dict_words,
+                )
+            except Exception:
+                self._native = None
         default_tags: Dict[str, List[Optional[str]]] = {}
         for s in tag_dictionary:
             for token in s.iter_tokens():
@@ -145,18 +157,25 @@ class Trainer:
         return examples
 
     def add_example(self, sentence: Sentence) -> None:
-        for features, b in self.gen_features(sentence):
-            counts: Dict[int, float] = {}
-            for feature in features:
-                fid = self.feature_ids.setdefault(
-                    feature, len(self.feature_ids) + 1
-                )
-                counts[fid] = counts.get(fid, 0.0) + 1.0
-            self.xs.append(list(counts.items()))
-            self.ys.append(b)
+        if self._native is not None:
+            self._native.add(
+                sentence.codepoints, sentence.char_types, sentence.boundaries
+            )
+        else:
+            for features, b in self.gen_features(sentence):
+                counts: Dict[int, float] = {}
+                for feature in features:
+                    fid = self.feature_ids.setdefault(
+                        feature, len(self.feature_ids) + 1
+                    )
+                    counts[fid] = counts.get(fid, 0.0) + 1.0
+                self.xs.append(list(counts.items()))
+                self.ys.append(b)
         self.tag_trainer.add_example(sentence)
 
     def n_features(self) -> int:
+        if self._native is not None:
+            return self._native.n_features
         return len(self.feature_ids)
 
     # ------------------------------------------------------------------
@@ -164,20 +183,39 @@ class Trainer:
     # ------------------------------------------------------------------
 
     def train(self, epsilon: float, cost: float, solver: int) -> Model:
-        if not self.xs:
-            raise invalid_argument("trainer", "no training examples")
-        D = len(self.feature_ids)
-        n = len(self.xs)
-        K = max((len(x) for x in self.xs), default=1) + 1  # +1 bias slot
-        idx = np.zeros((n, K), dtype=np.int32)
-        val = np.zeros((n, K), dtype=np.float32)
-        for r, x in enumerate(self.xs):
-            for c, (fid, v) in enumerate(x):
-                idx[r, c] = fid
-                val[r, c] = v
-            idx[r, len(x)] = D + 1  # LIBLINEAR-style bias feature
-            val[r, len(x)] = 1.0
-        ys = np.asarray(self.ys)
+        if self._native is not None:
+            if self._native.n_examples == 0:
+                raise invalid_argument("trainer", "no training examples")
+            D = self._native.n_features
+            idx_n, val_n, ys = self._native.export()
+            n, Kn = idx_n.shape
+            # append the LIBLINEAR-style bias feature column
+            idx = np.zeros((n, Kn + 1), dtype=np.int32)
+            val = np.zeros((n, Kn + 1), dtype=np.float32)
+            idx[:, :Kn] = idx_n
+            val[:, :Kn] = val_n
+            nnz = (idx_n != 0).sum(axis=1)
+            idx[np.arange(n), nnz] = D + 1
+            val[np.arange(n), nnz] = 1.0
+            feature_items = list(enumerate(self._native.export_keys(), 1))
+            feature_items = [(k, fid) for fid, k in feature_items]
+        else:
+            if not self.xs:
+                raise invalid_argument("trainer", "no training examples")
+            D = len(self.feature_ids)
+            n = len(self.xs)
+            K = max((len(x) for x in self.xs), default=1) + 1  # +1 bias slot
+            idx = np.zeros((n, K), dtype=np.int32)
+            val = np.zeros((n, K), dtype=np.float32)
+            for r, x in enumerate(self.xs):
+                for c, (fid, v) in enumerate(x):
+                    idx[r, c] = fid
+                    val[r, c] = v
+            for r, x in enumerate(self.xs):
+                idx[r, len(x)] = D + 1  # LIBLINEAR-style bias feature
+                val[r, len(x)] = 1.0
+            ys = np.asarray(self.ys)
+            feature_items = list(self.feature_ids.items())
         y_pm = np.where(ys == 1, 1.0, -1.0)  # WordBoundary one-vs-rest
         w, bias_raw = train_binary(idx, val, y_pm, D, cost, epsilon, solver)
 
@@ -192,7 +230,7 @@ class Trainer:
         dict_weights = [[0, 0, 0] for _ in range(self.dict_word_max_len)]
 
         cw = self.char_window_size
-        for feature, fid in self.feature_ids.items():
+        for feature, fid in feature_items:
             weight = int(np.trunc(w[fid - 1] / quantize_multiplier))
             if weight == 0:
                 continue
