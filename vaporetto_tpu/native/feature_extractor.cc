@@ -46,12 +46,14 @@ struct Extractor {
   std::vector<int32_t> ex_labels;
   int64_t max_nnz = 0;
 
-  uint32_t intern(std::string&& key) {
+  // lookup by const ref: the key buffer is reused by the caller and
+  // only copied on first insertion
+  uint32_t intern(const std::string& key) {
     auto it = feature_ids.find(key);
     if (it != feature_ids.end()) return it->second;
     uint32_t id = static_cast<uint32_t>(feature_ids.size() + 1);
     keys_in_order.push_back(key);
-    feature_ids.emplace(std::move(key), id);
+    feature_ids.emplace(key, id);
     return id;
   }
 };
@@ -104,8 +106,7 @@ int vt_extr_add(void* h, const int32_t* cps, const uint8_t* types,
         key.push_back(0x01);
         for (int m = 0; m <= ng; ++m) push_i32(key, cps[j + m]);
         push_i32(key, static_cast<int32_t>(j - i - 1));
-        fv[e->intern(std::move(key))] += 1.0f;
-        key = std::string();
+        fv[e->intern(key)] += 1.0f;
       }
     }
     // type n-grams (trainer.rs:281-292)
@@ -118,8 +119,7 @@ int vt_extr_add(void* h, const int32_t* cps, const uint8_t* types,
         key.push_back(0x02);
         for (int m = 0; m <= ng; ++m) key.push_back((char)types[j + m]);
         push_i32(key, static_cast<int32_t>(j - i - 1));
-        fv[e->intern(std::move(key))] += 1.0f;
-        key = std::string();
+        fv[e->intern(key)] += 1.0f;
       }
     }
   }
@@ -139,22 +139,19 @@ int vt_extr_add(void* h, const int32_t* cps, const uint8_t* types,
             key.clear();
             key.push_back(0x03);
             push_i32(key, len);
-            gap_feats[start - 1][e->intern(std::move(key))] += 1.0f;
-            key = std::string();
+            gap_feats[start - 1][e->intern(key)] += 1.0f;
           }
           for (int64_t g = start; g < end - 1; ++g) {
             key.clear();
             key.push_back(0x04);
             push_i32(key, len);
-            gap_feats[g][e->intern(std::move(key))] += 1.0f;
-            key = std::string();
+            gap_feats[g][e->intern(key)] += 1.0f;
           }
           if (end != n) {
             key.clear();
             key.push_back(0x05);
             push_i32(key, len);
-            gap_feats[end - 1][e->intern(std::move(key))] += 1.0f;
-            key = std::string();
+            gap_feats[end - 1][e->intern(key)] += 1.0f;
           }
         }
       }
