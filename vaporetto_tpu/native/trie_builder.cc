@@ -30,9 +30,12 @@ struct TrieNode {
 
 struct Builder {
   std::vector<int32_t> base, check, value;
-  // free-list: next_free[i] / prev_free[i] valid where check[i] == -1
-  std::vector<int32_t> next_free, prev_free;
+  // sorted doubly-linked free list threaded through the arrays; links are
+  // only valid on FREE slots (check[i] == -1), so every walk must start
+  // from `cursor`, which is maintained to always sit on a free slot
+  std::vector<int64_t> next_free, prev_free;
   int64_t cap = 0;
+  int64_t cursor = 1;  // earliest free slot we still care about
 
   void grow(int64_t need) {
     if (need <= cap) return;
@@ -44,37 +47,39 @@ struct Builder {
     next_free.resize(new_cap);
     prev_free.resize(new_cap);
     for (int64_t i = cap; i < new_cap; ++i) {
-      next_free[i] = static_cast<int32_t>(i + 1);
-      prev_free[i] = static_cast<int32_t>(i - 1);
-    }
-    // link the old tail of the free list to the new region
-    if (cap > 0) {
-      int64_t tail = -1;
-      // find previous dangling end: slots with next_free == cap
-      // we maintain the invariant that free list is sorted; the last free
-      // slot before growth pointed at `cap`; it still does, and cap is the
-      // head of the new region, so links are already consistent.
-      (void)tail;
+      next_free[i] = i + 1;
+      prev_free[i] = i - 1;
     }
     cap = new_cap;
   }
 
   void occupy(int64_t pos) {
     // unlink pos from the free list (caller sets check/value)
-    int32_t nf = next_free[pos], pf = prev_free[pos];
+    if (pos == cursor) cursor = next_free[pos];
+    int64_t nf = next_free[pos], pf = prev_free[pos];
     if (pf >= 0) next_free[pf] = nf;
     if (nf < cap) prev_free[nf] = pf;
   }
 
+  // first free slot >= from; walks only free-list links (valid)
   int64_t first_free(int64_t from) {
-    // free slots form a monotone chain; walk from `from` via next_free
-    int64_t i = from;
-    grow(i + 1);
-    while (check[i] != -1) {
+    grow(from + 1);
+    while (check[cursor] != -1) {  // defensive; cursor should stay free
+      cursor = next_free[cursor];
+      grow(cursor + 1);
+    }
+    int64_t i = cursor;
+    while (i < from) {
       i = next_free[i];
       grow(i + 1);
     }
     return i;
+  }
+
+  int64_t next_free_after(int64_t i) {
+    int64_t j = next_free[i];
+    grow(j + 1);
+    return j;
   }
 };
 
@@ -172,7 +177,6 @@ int vt_build_trie(const int32_t* pattern_data, const int64_t* pattern_offsets,
   slot_of[0] = 0;
   std::queue<int32_t> q;
   q.push(0);
-  int64_t search_hint = 1;
   int64_t max_used = 0;
   while (!q.empty()) {
     int32_t node = q.front();
@@ -181,40 +185,35 @@ int vt_build_trie(const int32_t* pattern_data, const int64_t* pattern_offsets,
     if (kids.empty()) continue;
     int64_t slot = slot_of[node];
     int32_t first_sym = kids[0].first;
-    // find a base: anchor on successive free slots for the first child
-    int64_t cand = b.first_free(
-        search_hint > first_sym ? search_hint : first_sym + 1);
+    // anchor candidate free slots on the first child; the free list is
+    // sorted and walks touch only free slots, so this is amortized linear
+    int64_t cand = b.first_free(first_sym + 1);
     for (;;) {
       int64_t base_v = cand - first_sym;
-      if (base_v >= 1) {
-        bool ok = true;
-        for (const auto& kv : kids) {
-          int64_t t = base_v + kv.first;
-          b.grow(t + 1);
-          if (b.check[t] != -1) {
-            ok = false;
-            break;
-          }
-        }
-        if (ok) {
-          b.base[slot] = static_cast<int32_t>(base_v);
-          for (const auto& kv : kids) {
-            int64_t t = base_v + kv.first;
-            b.occupy(t);
-            b.check[t] = static_cast<int32_t>(slot);
-            b.value[t] = nodes[kv.second].value;
-            slot_of[kv.second] = t;
-            if (t > max_used) max_used = t;
-            q.push(kv.second);
-          }
+      bool ok = true;
+      for (const auto& kv : kids) {
+        int64_t t = base_v + kv.first;
+        b.grow(t + 1);
+        if (b.check[t] != -1) {
+          ok = false;
           break;
         }
       }
-      cand = b.next_free[cand];
-      b.grow(cand + 1);
+      if (ok) {
+        b.base[slot] = static_cast<int32_t>(base_v);
+        for (const auto& kv : kids) {
+          int64_t t = base_v + kv.first;
+          b.occupy(t);
+          b.check[t] = static_cast<int32_t>(slot);
+          b.value[t] = nodes[kv.second].value;
+          slot_of[kv.second] = t;
+          if (t > max_used) max_used = t;
+          q.push(kv.second);
+        }
+        break;
+      }
+      cand = b.next_free_after(cand);
     }
-    // advance the hint past the densely occupied prefix
-    while (search_hint < b.cap && b.check[search_hint] != -1) ++search_hint;
   }
 
   int64_t n_slots = max_used + n_symbols + 2;
