@@ -79,3 +79,107 @@ class TestNativeTensorizer:
         cps, types, lengths = tensorize_native(["あいうえお".encode()], 3)
         assert lengths[0] == 3
         assert cps.shape == (1, 3)
+
+
+class TestNativeCompileMatcher:
+    """native/compile_matcher.cc vs the Python merge+pack path.
+
+    Both paths share the native trie builder, so every output table must be
+    bit-identical: merge semantics (predictor.rs:149-165), suffix
+    propagation (char_scorer.rs:50-78), projection, fixed-8 packing."""
+
+    def _rand_model(self, seed, n_ngrams=40, n_words=30):
+        import random
+
+        from vaporetto_tpu.models.model import (
+            Model,
+            NgramData,
+            WordWeightRecord,
+        )
+
+        random.seed(seed)
+
+        def rword(n, lo=0x61, hi=0x7A):
+            return "".join(chr(random.randint(lo, hi)) for _ in range(n))
+
+        ngrams = [
+            NgramData(
+                rword(random.randint(1, 4)),
+                [random.randint(-100, 100) for _ in range(random.randint(1, 6))],
+            )
+            for _ in range(n_ngrams)
+        ]
+        words = list({rword(random.randint(1, 12)) for _ in range(n_words)})
+        dicts = [
+            WordWeightRecord(
+                w, [random.randint(-50, 50) for _ in range(len(w) + 1)], ""
+            )
+            for w in words
+        ]
+        tngrams = [
+            NgramData(
+                bytes(random.randint(1, 6) for _ in range(random.randint(1, 5))),
+                [random.randint(-30, 30) for _ in range(random.randint(1, 6))],
+            )
+            for _ in range(max(n_ngrams // 2, 1))
+        ]
+        return Model(ngrams, tngrams, dicts, -10, 3, 4, [])
+
+    def test_equivalence_random(self, monkeypatch):
+        import vaporetto_tpu.native as native_mod
+        from vaporetto_tpu.compile.compiler import compile_model
+
+        fields = (
+            "rows_first", "rows_cnt", "w8", "off",
+            "value", "inherit", "base", "check",
+        )
+        for seed in range(4):
+            m = self._rand_model(seed)
+            fast_cm = compile_model(m)
+            with monkeypatch.context() as mp:
+                mp.setattr(
+                    native_mod, "compile_matcher_native", lambda *a, **k: None
+                )
+                py_cm = compile_model(m)
+            for side in ("char_matcher", "type_matcher"):
+                a = getattr(fast_cm, side)
+                b = getattr(py_cm, side)
+                for f in fields:
+                    assert np.array_equal(getattr(a, f), getattr(b, f)), (
+                        seed, side, f,
+                    )
+                assert a.max_len == b.max_len
+                assert a.max_chunks == b.max_chunks
+            assert np.array_equal(fast_cm.char_sym_table, py_cm.char_sym_table)
+            assert fast_cm.char_hash_mul == py_cm.char_hash_mul
+            assert fast_cm.char_hash_shift == py_cm.char_hash_shift
+            assert np.array_equal(fast_cm.char_hash_keys, py_cm.char_hash_keys)
+            assert np.array_equal(fast_cm.char_hash_syms, py_cm.char_hash_syms)
+            assert fast_cm.pad_left == py_cm.pad_left
+            assert fast_cm.pad_right == py_cm.pad_right
+
+    def test_duplicate_and_suffix_patterns(self, monkeypatch):
+        """Duplicates must merge; suffix weights must propagate."""
+        import vaporetto_tpu.native as native_mod
+        from vaporetto_tpu.compile.compiler import compile_model
+        from vaporetto_tpu.models.model import Model, NgramData
+
+        ngrams = [
+            NgramData("abc", [1, 2, 3]),
+            NgramData("bc", [10, 20]),
+            NgramData("c", [100]),
+            NgramData("abc", [5, 5, 5]),  # duplicate of first
+            NgramData("xc", [7]),
+        ]
+        m = Model(ngrams, [], [], 0, 3, 3, [])
+        fast_cm = compile_model(m)
+        with monkeypatch.context() as mp:
+            mp.setattr(
+                native_mod, "compile_matcher_native", lambda *a, **k: None
+            )
+            py_cm = compile_model(m)
+        a, b = fast_cm.char_matcher, py_cm.char_matcher
+        assert np.array_equal(a.w8, b.w8)
+        assert np.array_equal(a.off, b.off)
+        assert np.array_equal(a.rows_first, b.rows_first)
+        assert np.array_equal(a.rows_cnt, b.rows_cnt)

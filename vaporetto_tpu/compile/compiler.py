@@ -15,6 +15,7 @@ uploaded straight to HBM without re-running this compiler.
 from __future__ import annotations
 
 import dataclasses
+import itertools
 from typing import Dict, List, Optional, Tuple
 
 import numpy as np
@@ -168,13 +169,15 @@ def _build_matcher(
     )
 
 
-def _build_char_hash(sym_of: Dict[int, int]):
+def _build_char_hash(cps_sorted: np.ndarray, sym_ids: np.ndarray):
     """Collision-free multiplicative hash over the model's codepoints.
 
-    Returns (mul, shift, keys, syms) with table size the smallest power of
-    two giving an injective ``(cp * mul) >> shift`` over the keys.
+    ``cps_sorted`` are the raw codepoints, ``sym_ids`` the dense symbol id of
+    each. Returns (mul, shift, keys, syms) with table size the smallest
+    power of two giving an injective ``(cp * mul) >> shift`` over the keys.
     """
-    cps = np.array(sorted(sym_of), dtype=np.uint64)
+    cps = np.asarray(cps_sorted, dtype=np.uint64)
+    sym_ids = np.asarray(sym_ids, dtype=np.int32)
     n = max(len(cps), 1)
     m_bits = max(4, int(np.ceil(np.log2(n * 2))))
     rng = np.random.default_rng(0x5EED)
@@ -187,14 +190,118 @@ def _build_char_hash(sym_of: Dict[int, int]):
                 P = 1 << m_bits
                 keys = np.full(P, -1, dtype=np.int32)
                 syms = np.zeros(P, dtype=np.int32)
-                for cp, slot in zip(cps, slots):
-                    keys[slot] = int(cp)
-                    syms[slot] = sym_of[int(cp)]
+                keys[slots] = cps.astype(np.int32)
+                syms[slots] = sym_ids
                 # two's-complement signed form for int32 device arithmetic
                 mul_signed = mul - 2**32 if mul >= 2**31 else mul
                 return mul_signed, shift, keys, syms
         m_bits += 1
     raise invalid_model("could not build hash projection")
+
+
+def _flatten_patterns_weights(
+    lengths: np.ndarray, weight_lists: List[List[int]]
+) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """(pattern offsets, flat weights, weight offsets) without Python loops."""
+    n = len(weight_lists)
+    pat_offs = np.zeros(n + 1, dtype=np.int64)
+    np.cumsum(lengths, out=pat_offs[1:])
+    w_offs = np.zeros(n + 1, dtype=np.int64)
+    np.cumsum(
+        np.fromiter(map(len, weight_lists), dtype=np.int64, count=n),
+        out=w_offs[1:],
+    )
+    w_flat = np.fromiter(
+        itertools.chain.from_iterable(weight_lists),
+        dtype=np.int32,
+        count=int(w_offs[-1]),
+    )
+    return pat_offs, w_flat, w_offs
+
+
+def _native_matcher_result(res: dict, tag_weight=None) -> CompiledMatcher:
+    return CompiledMatcher(
+        base=res["base"],
+        check=res["check"],
+        value=res["value"],
+        inherit=res["inherit"],
+        max_len=res["max_len"],
+        rows_first=res["rows_first"],
+        rows_cnt=res["rows_cnt"],
+        w8=res["w8"],
+        off=res["off"],
+        max_chunks=res["max_chunks"],
+        tag_weight=tag_weight,
+    )
+
+
+def _compile_char_fast(model: Model):
+    """Native one-call char-side compile (no tag models). Returns
+    (matcher, sym_table, hash) or None when the native library is absent."""
+    try:
+        from ..native import compile_matcher_native
+    except Exception:
+        return None
+    strs = [d.ngram for d in model.char_ngram_model] + [
+        rec.word for rec in model.dict_model
+    ]
+    n_ng = len(model.char_ngram_model)
+    lengths = np.fromiter(map(len, strs), dtype=np.int64, count=len(strs))
+    if n_ng < len(strs) and int(lengths[n_ng:].max()) > 32767:
+        raise invalid_model(
+            "words must be shorter than or equal to 32767 characters"
+        )
+    pat_flat = np.frombuffer(
+        "".join(strs).encode("utf-32-le"), dtype=np.int32
+    )
+    w_offset = np.concatenate(
+        [
+            np.full(n_ng, -model.char_window_size, dtype=np.int32),
+            (-lengths[n_ng:]).astype(np.int32),
+        ]
+    )
+    weight_lists = [d.weights for d in model.char_ngram_model] + [
+        rec.weights for rec in model.dict_model
+    ]
+    pat_offs, w_flat, w_offs = _flatten_patterns_weights(
+        lengths, weight_lists
+    )
+    try:
+        res = compile_matcher_native(pat_flat, pat_offs, w_offset, w_flat, w_offs)
+    except OverflowError:
+        raise invalid_model("weight overflow during merge")
+    if res is None:
+        return None
+    syms_raw = res["syms"].astype(np.int64)
+    sym_ids = np.arange(1, len(syms_raw) + 1, dtype=np.int32)
+    sym_table = np.zeros(MAX_CODEPOINT, dtype=np.int32)
+    sym_table[syms_raw] = sym_ids
+    char_hash = _build_char_hash(syms_raw, sym_ids)
+    return _native_matcher_result(res), sym_table, char_hash
+
+
+def _compile_type_trie_fast(model: Model):
+    """Native one-call type-side trie compile (no tag models)."""
+    try:
+        from ..native import compile_matcher_native
+    except Exception:
+        return None
+    bs = [bytes(d.ngram) for d in model.type_ngram_model]
+    lengths = np.fromiter(map(len, bs), dtype=np.int64, count=len(bs))
+    pat_flat = np.frombuffer(b"".join(bs), dtype=np.uint8).astype(np.int32)
+    w_offset = np.full(len(bs), -model.type_window_size, dtype=np.int32)
+    weight_lists = [d.weights for d in model.type_ngram_model]
+    pat_offs, w_flat, w_offs = _flatten_patterns_weights(lengths, weight_lists)
+    try:
+        res = compile_matcher_native(
+            pat_flat, pat_offs, w_offset, w_flat, w_offs,
+            project=False, n_symbols=6,
+        )
+    except OverflowError:
+        raise invalid_model("weight overflow during merge")
+    if res is None:
+        return None
+    return _native_matcher_result(res)
 
 
 def _build_type_pos_tables(
@@ -298,7 +405,11 @@ def compile_model(
         (model.char_ngram_model or model.dict_model)
         and model.char_window_size > 0
     )
-    if use_char:
+    if use_char and not with_tags:
+        fast = _compile_char_fast(model)
+        if fast is not None:
+            char_matcher, char_sym_table, char_hash = fast
+    if use_char and char_matcher is None:
         merger = WeightMerger()
         for d in model.char_ngram_model:
             key = tuple(ord(c) for c in d.ngram)
@@ -331,7 +442,10 @@ def compile_model(
         char_sym_table = np.zeros(MAX_CODEPOINT, dtype=np.int32)
         for cp, sym in sym_of.items():
             char_sym_table[cp] = sym
-        char_hash = _build_char_hash(sym_of)
+        char_hash = _build_char_hash(
+            np.array(cps, dtype=np.int64),
+            np.arange(1, len(cps) + 1, dtype=np.int32),
+        )
         merged_proj = [
             (tuple(sym_of[cp] for cp in key), w) for key, w in merged
         ]
@@ -371,26 +485,31 @@ def compile_model(
             )
             type_pos = _build_type_pos_tables(ngrams, model.type_window_size)
         else:
-            merger = WeightMerger()
-            for d in model.type_ngram_model:
-                key = tuple(bytes(d.ngram))
-                pw = PositionalWeight(-model.type_window_size, d.weights)
-                merger.add(key, PositionalWeightWithTag(pw) if with_tags else pw)
-            if with_tags:
-                for i, tm in enumerate(model.tag_models):
-                    for d in tm.type_ngram_model:
-                        key = tuple(bytes(d.ngram))
-                        for tw in d.weights:
-                            merger.add(
-                                key,
-                                PositionalWeightWithTag.with_tag(
-                                    i, tw.rel_position, tw.weights
-                                ),
-                            )
-            merged = merger.merge()
-            type_matcher = _build_matcher(
-                merged, 6, with_tags, n_tag_models, model.type_window_size
-            )
+            if not with_tags:
+                type_matcher = _compile_type_trie_fast(model)
+            if type_matcher is None:
+                merger = WeightMerger()
+                for d in model.type_ngram_model:
+                    key = tuple(bytes(d.ngram))
+                    pw = PositionalWeight(-model.type_window_size, d.weights)
+                    merger.add(
+                        key, PositionalWeightWithTag(pw) if with_tags else pw
+                    )
+                if with_tags:
+                    for i, tm in enumerate(model.tag_models):
+                        for d in tm.type_ngram_model:
+                            key = tuple(bytes(d.ngram))
+                            for tw in d.weights:
+                                merger.add(
+                                    key,
+                                    PositionalWeightWithTag.with_tag(
+                                        i, tw.rel_position, tw.weights
+                                    ),
+                                )
+                merged = merger.merge()
+                type_matcher = _build_matcher(
+                    merged, 6, with_tags, n_tag_models, model.type_window_size
+                )
 
     # ------------------------------------------------------------------ tags
     tag_meta = None

@@ -9,6 +9,7 @@ compiler is available).
 from __future__ import annotations
 
 import ctypes
+import itertools
 import os
 import subprocess
 from typing import Optional, Sequence, Tuple
@@ -92,6 +93,20 @@ def _load() -> Optional[ctypes.CDLL]:
     ]
     lib.vt_extr_free.restype = None
     lib.vt_extr_free.argtypes = [ctypes.c_void_p]
+    I32P = ctypes.POINTER(ctypes.c_int32)
+    I64P = ctypes.POINTER(ctypes.c_int64)
+    PI32P = ctypes.POINTER(I32P)
+    lib.vt_compile_matcher.restype = ctypes.c_int
+    lib.vt_compile_matcher.argtypes = [
+        I32P, I64P, ctypes.c_int64,  # patterns
+        I32P, I32P, I64P,  # weights
+        ctypes.c_int32, ctypes.c_int32,  # project, n_symbols_in
+        PI32P, I64P,  # syms
+        PI32P, PI32P, PI32P, PI32P, I64P,  # trie
+        PI32P, PI32P, I64P,  # rows_first/cnt, n_merged
+        PI32P, PI32P, I64P,  # w8, off, n_rows
+        I32P, I32P,  # max_chunks, max_len
+    ]
     _lib = lib
     return _lib
 
@@ -206,12 +221,19 @@ def build_trie_native(
     lib = _load()
     if lib is None:
         return None
-    offsets = np.zeros(len(patterns) + 1, dtype=np.int64)
-    for i, p in enumerate(patterns):
-        offsets[i + 1] = offsets[i] + len(p)
-    flat = np.empty(int(offsets[-1]), dtype=np.int32)
-    for i, p in enumerate(patterns):
-        flat[offsets[i] : offsets[i + 1]] = p
+    n = len(patterns)
+    offsets = np.zeros(n + 1, dtype=np.int64)
+    np.cumsum(
+        np.fromiter(map(len, patterns), dtype=np.int64, count=n),
+        out=offsets[1:],
+    )
+    flat = np.fromiter(
+        itertools.chain.from_iterable(patterns),
+        dtype=np.int32,
+        count=int(offsets[-1]),
+    )
+    if flat.size == 0:
+        flat = np.zeros(1, dtype=np.int32)
     base_p = ctypes.POINTER(ctypes.c_int32)()
     check_p = ctypes.POINTER(ctypes.c_int32)()
     value_p = ctypes.POINTER(ctypes.c_int32)()
@@ -238,6 +260,94 @@ def build_trie_native(
     for p in (base_p, check_p, value_p, inherit_p):
         lib.vt_free(p)
     return base, check, value, inherit
+
+
+def compile_matcher_native(
+    pat_flat: np.ndarray,
+    pat_offs: np.ndarray,
+    w_offset: np.ndarray,
+    w_flat: np.ndarray,
+    w_offs: np.ndarray,
+    *,
+    project: bool = True,
+    n_symbols: int = 0,
+) -> Optional[dict]:
+    """One-call native matcher compile: merge duplicate patterns, propagate
+    suffix weights, project symbols, build the double-array, pack fixed-8
+    weight rows (native/compile_matcher.cc). Returns a dict of numpy arrays
+    or None when the library is unavailable.
+
+    Raises OverflowError on int32 weight overflow (the Python path raises
+    invalid_model; the caller translates).
+    """
+    lib = _load()
+    if lib is None or not hasattr(lib, "vt_compile_matcher"):
+        return None
+    n = int(len(pat_offs) - 1)
+    pat_flat = np.ascontiguousarray(pat_flat, dtype=np.int32)
+    pat_offs = np.ascontiguousarray(pat_offs, dtype=np.int64)
+    w_offset = np.ascontiguousarray(w_offset, dtype=np.int32)
+    w_flat = np.ascontiguousarray(w_flat, dtype=np.int32)
+    w_offs = np.ascontiguousarray(w_offs, dtype=np.int64)
+    if pat_flat.size == 0:
+        pat_flat = np.zeros(1, dtype=np.int32)
+    if w_flat.size == 0:
+        w_flat = np.zeros(1, dtype=np.int32)
+    if w_offset.size == 0:
+        w_offset = np.zeros(1, dtype=np.int32)
+    I32P = ctypes.POINTER(ctypes.c_int32)
+    ptrs = [I32P() for _ in range(9)]  # syms,base,check,value,inherit,rf,rc,w8,off
+    n_syms = ctypes.c_int64()
+    n_slots = ctypes.c_int64()
+    n_merged = ctypes.c_int64()
+    n_rows = ctypes.c_int64()
+    max_chunks = ctypes.c_int32()
+    max_len = ctypes.c_int32()
+    rc = lib.vt_compile_matcher(
+        pat_flat.ctypes.data_as(I32P),
+        pat_offs.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        n,
+        w_offset.ctypes.data_as(I32P),
+        w_flat.ctypes.data_as(I32P),
+        w_offs.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        1 if project else 0,
+        n_symbols,
+        ctypes.byref(ptrs[0]), ctypes.byref(n_syms),
+        ctypes.byref(ptrs[1]), ctypes.byref(ptrs[2]), ctypes.byref(ptrs[3]),
+        ctypes.byref(ptrs[4]), ctypes.byref(n_slots),
+        ctypes.byref(ptrs[5]), ctypes.byref(ptrs[6]), ctypes.byref(n_merged),
+        ctypes.byref(ptrs[7]), ctypes.byref(ptrs[8]), ctypes.byref(n_rows),
+        ctypes.byref(max_chunks), ctypes.byref(max_len),
+    )
+    if rc == 3:
+        raise OverflowError("weight overflow during merge")
+    if rc != 0:
+        return None
+
+    def take(p, shape):
+        a = np.ctypeslib.as_array(p, shape=shape).copy()
+        lib.vt_free(p)
+        return a
+
+    out = {
+        "syms": take(ptrs[0], (max(int(n_syms.value), 1),))[: n_syms.value],
+        "base": take(ptrs[1], (int(n_slots.value),)),
+        "check": take(ptrs[2], (int(n_slots.value),)),
+        "value": take(ptrs[3], (int(n_slots.value),)),
+        "inherit": take(ptrs[4], (int(n_slots.value),)),
+        "rows_first": take(ptrs[5], (max(int(n_merged.value), 1),))[
+            : n_merged.value
+        ],
+        "rows_cnt": take(ptrs[6], (max(int(n_merged.value), 1),))[
+            : n_merged.value
+        ],
+        "w8": take(ptrs[7], (int(n_rows.value), 8)),
+        "off": take(ptrs[8], (int(n_rows.value),)),
+        "max_chunks": int(max_chunks.value),
+        "max_len": int(max_len.value),
+        "n_symbols": int(n_syms.value) if project else n_symbols,
+    }
+    return out
 
 
 def tensorize_native(
