@@ -53,6 +53,15 @@ def main(argv: Optional[List[str]] = None) -> int:
         print("Loading dictionary file...", file=sys.stderr)
         with open(args.replace_dict, newline="") as f:
             rdr = csv.DictReader(f)
+            missing = {"word", "weights"} - set(rdr.fieldnames or ())
+            if missing:
+                print(
+                    "error: dictionary CSV must have a header row with "
+                    f"columns word,weights[,comment] (missing: "
+                    f"{', '.join(sorted(missing))})",
+                    file=sys.stderr,
+                )
+                return 1
             dict_ = []
             for row in rdr:
                 weights = [int(x) for x in row["weights"].split(" ")]
