@@ -183,3 +183,96 @@ class TestNativeCompileMatcher:
         assert np.array_equal(a.off, b.off)
         assert np.array_equal(a.rows_first, b.rows_first)
         assert np.array_equal(a.rows_cnt, b.rows_cnt)
+
+    def test_equivalence_with_tags(self, monkeypatch):
+        """Tag rows: asymmetric tag_info merge + suffix propagation parity."""
+        import random
+
+        import vaporetto_tpu.native as native_mod
+        from vaporetto_tpu.compile.compiler import compile_model
+        from vaporetto_tpu.models.model import (
+            Model, NgramData, TagModel, TagNgramData, TagWeight,
+            WordWeightRecord,
+        )
+
+        def rword(n, lo=0x61, hi=0x6A):
+            return "".join(chr(random.randint(lo, hi)) for _ in range(n))
+
+        for seed in range(3):
+            random.seed(seed)
+            ngrams = [
+                NgramData(rword(random.randint(1, 4)),
+                          [random.randint(-100, 100)
+                           for _ in range(random.randint(1, 6))])
+                for _ in range(30)
+            ]
+            words = list({rword(random.randint(1, 8)) for _ in range(20)})
+            dicts = [
+                WordWeightRecord(
+                    w, [random.randint(-50, 50) for _ in range(len(w) + 1)], ""
+                )
+                for w in words
+            ]
+            tms = []
+            for t in random.sample(words, 6):
+                cn = [
+                    TagNgramData(
+                        rword(random.randint(1, 3)),
+                        [TagWeight(random.randint(0, 3),
+                                   [random.randint(-20, 20)
+                                    for _ in range(random.randint(1, 4))])
+                         for _ in range(2)],
+                    )
+                    for _ in range(4)
+                ]
+                tn = [
+                    TagNgramData(
+                        bytes(random.randint(1, 6)
+                              for _ in range(random.randint(1, 3))),
+                        [TagWeight(random.randint(0, 4),
+                                   [random.randint(-20, 20)
+                                    for _ in range(2)])],
+                    )
+                    for _ in range(3)
+                ]
+                tms.append(
+                    TagModel(t, [[f"t{i}" for i in range(3)]], cn, tn,
+                             [0, 0, 0])
+                )
+            tngrams = [
+                NgramData(
+                    bytes(random.randint(1, 6)
+                          for _ in range(random.randint(1, 3))),
+                    [random.randint(-30, 30)],
+                )
+                for _ in range(10)
+            ]
+            m = Model(ngrams, tngrams, dicts, -10, 3, 4, tms)
+            fast_cm = compile_model(m, predict_tags=True)
+            with monkeypatch.context() as mp:
+                mp.setattr(
+                    native_mod, "compile_matcher_native",
+                    lambda *a, **k: None,
+                )
+                py_cm = compile_model(m, predict_tags=True)
+            for side in ("char_matcher", "type_matcher"):
+                a = getattr(fast_cm, side)
+                b = getattr(py_cm, side)
+                for f in ("rows_first", "rows_cnt", "w8", "off",
+                          "value", "inherit", "base", "check"):
+                    assert np.array_equal(getattr(a, f), getattr(b, f)), (
+                        seed, side, f,
+                    )
+                ta, tb = a.tag_weight, b.tag_weight
+                assert (ta is None) == (tb is None)
+                if ta is None:
+                    continue
+                assert len(ta) == len(tb)
+                for x, y in zip(ta, tb):
+                    assert len(x) == len(y)
+                    for dx, dy in zip(x, y):
+                        assert set(dx) == set(dy), (seed, side)
+                        for kk in dx:
+                            assert [int(v) for v in dx[kk]] == [
+                                int(v) for v in dy[kk]
+                            ], (seed, side, kk)

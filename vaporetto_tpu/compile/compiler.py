@@ -235,8 +235,42 @@ def _native_matcher_result(res: dict, tag_weight=None) -> CompiledMatcher:
     )
 
 
-def _compile_char_fast(model: Model):
-    """Native one-call char-side compile (no tag models). Returns
+def _tag_rows(tag_ngram_models) -> Tuple[list, list, list, list]:
+    """Flatten per-tag-model n-gram tag rows in the Python add order
+    (order matters: the tag merge keeps the FIRST row's weight length)."""
+    pats, toks, rels, weights = [], [], [], []
+    for i, tag_ngrams in tag_ngram_models:
+        for d in tag_ngrams:
+            for tw in d.weights:
+                pats.append(d.ngram)
+                toks.append(i)
+                rels.append(tw.rel_position)
+                weights.append(tw.weights)
+    return pats, toks, rels, weights
+
+
+def _unpack_tag_weight_entries(
+    res: dict, n_tag_models: int, window_size: int
+):
+    tag_weight: List[List[Dict[int, List[int]]]] = [
+        [dict() for _ in range(window_size + 1)] for _ in range(n_tag_models)
+    ]
+    woffs = res["tag_woffs"].tolist()
+    wflat = res["tag_wflat"].tolist()
+    pats = res["tag_pat"].tolist()
+    toks = res["tag_tok"].tolist()
+    rels = res["tag_rel"].tolist()
+    lo = woffs[0] if woffs else 0
+    for k in range(len(pats)):
+        hi = woffs[k + 1]
+        tag_weight[toks[k]][rels[k]][pats[k]] = wflat[lo:hi]
+        lo = hi
+    return tag_weight
+
+
+def _compile_char_fast(model: Model, with_tags: bool = False,
+                       n_tag_models: int = 0):
+    """Native one-call char-side compile. Returns
     (matcher, sym_table, hash) or None when the native library is absent."""
     try:
         from ..native import compile_matcher_native
@@ -246,62 +280,103 @@ def _compile_char_fast(model: Model):
         rec.word for rec in model.dict_model
     ]
     n_ng = len(model.char_ngram_model)
+    n_bound = len(strs)
+    weight_lists = [d.weights for d in model.char_ngram_model] + [
+        rec.weights for rec in model.dict_model
+    ]
+    tag_kwargs = {}
+    if with_tags:
+        t_pats, t_toks, t_rels, t_weights = _tag_rows(
+            (i, tm.char_ngram_model) for i, tm in enumerate(model.tag_models)
+        )
+        strs = strs + t_pats
+        weight_lists = weight_lists + t_weights
+        is_tag = np.zeros(len(strs), dtype=np.uint8)
+        is_tag[n_bound:] = 1
+        tag_arr = np.zeros(len(strs), dtype=np.int32)
+        rel_arr = np.zeros(len(strs), dtype=np.int32)
+        tag_arr[n_bound:] = t_toks
+        rel_arr[n_bound:] = t_rels
+        tag_kwargs = dict(is_tag=is_tag, tag_tok=tag_arr, tag_rel=rel_arr)
     lengths = np.fromiter(map(len, strs), dtype=np.int64, count=len(strs))
-    if n_ng < len(strs) and int(lengths[n_ng:].max()) > 32767:
+    if n_ng < n_bound and int(lengths[n_ng:n_bound].max()) > 32767:
         raise invalid_model(
             "words must be shorter than or equal to 32767 characters"
         )
     pat_flat = np.frombuffer(
         "".join(strs).encode("utf-32-le"), dtype=np.int32
     )
-    w_offset = np.concatenate(
-        [
-            np.full(n_ng, -model.char_window_size, dtype=np.int32),
-            (-lengths[n_ng:]).astype(np.int32),
-        ]
-    )
-    weight_lists = [d.weights for d in model.char_ngram_model] + [
-        rec.weights for rec in model.dict_model
-    ]
+    w_offset = np.zeros(len(strs), dtype=np.int32)
+    w_offset[:n_ng] = -model.char_window_size
+    w_offset[n_ng:n_bound] = -lengths[n_ng:n_bound]
     pat_offs, w_flat, w_offs = _flatten_patterns_weights(
         lengths, weight_lists
     )
     try:
-        res = compile_matcher_native(pat_flat, pat_offs, w_offset, w_flat, w_offs)
-    except OverflowError:
-        raise invalid_model("weight overflow during merge")
-    if res is None:
-        return None
-    syms_raw = res["syms"].astype(np.int64)
-    sym_ids = np.arange(1, len(syms_raw) + 1, dtype=np.int32)
-    sym_table = np.zeros(MAX_CODEPOINT, dtype=np.int32)
-    sym_table[syms_raw] = sym_ids
-    char_hash = _build_char_hash(syms_raw, sym_ids)
-    return _native_matcher_result(res), sym_table, char_hash
-
-
-def _compile_type_trie_fast(model: Model):
-    """Native one-call type-side trie compile (no tag models)."""
-    try:
-        from ..native import compile_matcher_native
-    except Exception:
-        return None
-    bs = [bytes(d.ngram) for d in model.type_ngram_model]
-    lengths = np.fromiter(map(len, bs), dtype=np.int64, count=len(bs))
-    pat_flat = np.frombuffer(b"".join(bs), dtype=np.uint8).astype(np.int32)
-    w_offset = np.full(len(bs), -model.type_window_size, dtype=np.int32)
-    weight_lists = [d.weights for d in model.type_ngram_model]
-    pat_offs, w_flat, w_offs = _flatten_patterns_weights(lengths, weight_lists)
-    try:
         res = compile_matcher_native(
-            pat_flat, pat_offs, w_offset, w_flat, w_offs,
-            project=False, n_symbols=6,
+            pat_flat, pat_offs, w_offset, w_flat, w_offs, **tag_kwargs
         )
     except OverflowError:
         raise invalid_model("weight overflow during merge")
     if res is None:
         return None
-    return _native_matcher_result(res)
+    tag_weight = None
+    if with_tags:
+        tag_weight = _unpack_tag_weight_entries(
+            res, n_tag_models, model.char_window_size
+        )
+    syms_raw = res["syms"].astype(np.int64)
+    sym_ids = np.arange(1, len(syms_raw) + 1, dtype=np.int32)
+    sym_table = np.zeros(MAX_CODEPOINT, dtype=np.int32)
+    sym_table[syms_raw] = sym_ids
+    char_hash = _build_char_hash(syms_raw, sym_ids)
+    return _native_matcher_result(res, tag_weight), sym_table, char_hash
+
+
+def _compile_type_trie_fast(model: Model, with_tags: bool = False,
+                            n_tag_models: int = 0):
+    """Native one-call type-side trie compile."""
+    try:
+        from ..native import compile_matcher_native
+    except Exception:
+        return None
+    bs = [bytes(d.ngram) for d in model.type_ngram_model]
+    n_bound = len(bs)
+    weight_lists = [d.weights for d in model.type_ngram_model]
+    tag_kwargs = {}
+    if with_tags:
+        t_pats, t_toks, t_rels, t_weights = _tag_rows(
+            (i, tm.type_ngram_model) for i, tm in enumerate(model.tag_models)
+        )
+        bs = bs + [bytes(p) for p in t_pats]
+        weight_lists = weight_lists + t_weights
+        is_tag = np.zeros(len(bs), dtype=np.uint8)
+        is_tag[n_bound:] = 1
+        tag_arr = np.zeros(len(bs), dtype=np.int32)
+        rel_arr = np.zeros(len(bs), dtype=np.int32)
+        tag_arr[n_bound:] = t_toks
+        rel_arr[n_bound:] = t_rels
+        tag_kwargs = dict(is_tag=is_tag, tag_tok=tag_arr, tag_rel=rel_arr)
+    lengths = np.fromiter(map(len, bs), dtype=np.int64, count=len(bs))
+    pat_flat = np.frombuffer(b"".join(bs), dtype=np.uint8).astype(np.int32)
+    w_offset = np.zeros(len(bs), dtype=np.int32)
+    w_offset[:n_bound] = -model.type_window_size
+    pat_offs, w_flat, w_offs = _flatten_patterns_weights(lengths, weight_lists)
+    try:
+        res = compile_matcher_native(
+            pat_flat, pat_offs, w_offset, w_flat, w_offs,
+            project=False, n_symbols=6, **tag_kwargs,
+        )
+    except OverflowError:
+        raise invalid_model("weight overflow during merge")
+    if res is None:
+        return None
+    tag_weight = None
+    if with_tags:
+        tag_weight = _unpack_tag_weight_entries(
+            res, n_tag_models, model.type_window_size
+        )
+    return _native_matcher_result(res, tag_weight)
 
 
 def _build_type_pos_tables(
@@ -405,8 +480,8 @@ def compile_model(
         (model.char_ngram_model or model.dict_model)
         and model.char_window_size > 0
     )
-    if use_char and not with_tags:
-        fast = _compile_char_fast(model)
+    if use_char:
+        fast = _compile_char_fast(model, with_tags, n_tag_models)
         if fast is not None:
             char_matcher, char_sym_table, char_hash = fast
     if use_char and char_matcher is None:
@@ -485,8 +560,9 @@ def compile_model(
             )
             type_pos = _build_type_pos_tables(ngrams, model.type_window_size)
         else:
-            if not with_tags:
-                type_matcher = _compile_type_trie_fast(model)
+            type_matcher = _compile_type_trie_fast(
+                model, with_tags, n_tag_models
+            )
             if type_matcher is None:
                 merger = WeightMerger()
                 for d in model.type_ngram_model:

@@ -107,6 +107,21 @@ def _load() -> Optional[ctypes.CDLL]:
         PI32P, PI32P, I64P,  # w8, off, n_rows
         I32P, I32P,  # max_chunks, max_len
     ]
+    U8P = ctypes.POINTER(ctypes.c_uint8)
+    PI64P = ctypes.POINTER(I64P)
+    lib.vt_compile_matcher_tags.restype = ctypes.c_int
+    lib.vt_compile_matcher_tags.argtypes = [
+        I32P, I64P, ctypes.c_int64,  # patterns
+        I32P, I32P, I64P,  # weights
+        U8P, I32P, I32P,  # is_tag, tag_tok, tag_rel
+        ctypes.c_int32, ctypes.c_int32,  # project, n_symbols_in
+        PI32P, I64P,  # syms
+        PI32P, PI32P, PI32P, PI32P, I64P,  # trie
+        PI32P, PI32P, I64P,  # rows_first/cnt, n_merged
+        PI32P, PI32P, I64P,  # w8, off, n_rows
+        I32P, I32P,  # max_chunks, max_len
+        PI32P, PI32P, PI32P, PI32P, PI64P, I64P,  # tag outputs
+    ]
     _lib = lib
     return _lib
 
@@ -271,11 +286,19 @@ def compile_matcher_native(
     *,
     project: bool = True,
     n_symbols: int = 0,
+    is_tag: Optional[np.ndarray] = None,
+    tag_tok: Optional[np.ndarray] = None,
+    tag_rel: Optional[np.ndarray] = None,
 ) -> Optional[dict]:
     """One-call native matcher compile: merge duplicate patterns, propagate
     suffix weights, project symbols, build the double-array, pack fixed-8
     weight rows (native/compile_matcher.cc). Returns a dict of numpy arrays
     or None when the library is unavailable.
+
+    When ``is_tag`` is given, rows with ``is_tag[i] != 0`` carry a tag
+    weight vector for ``(tag_tok[i], tag_rel[i])`` instead of a boundary
+    weight, and the result dict gains ``tag_pat/tag_tok/tag_rel/tag_wflat/
+    tag_woffs`` arrays describing the merged patterns' tag entries.
 
     Raises OverflowError on int32 weight overflow (the Python path raises
     invalid_model; the caller translates).
@@ -296,6 +319,7 @@ def compile_matcher_native(
     if w_offset.size == 0:
         w_offset = np.zeros(1, dtype=np.int32)
     I32P = ctypes.POINTER(ctypes.c_int32)
+    I64P = ctypes.POINTER(ctypes.c_int64)
     ptrs = [I32P() for _ in range(9)]  # syms,base,check,value,inherit,rf,rc,w8,off
     n_syms = ctypes.c_int64()
     n_slots = ctypes.c_int64()
@@ -303,15 +327,15 @@ def compile_matcher_native(
     n_rows = ctypes.c_int64()
     max_chunks = ctypes.c_int32()
     max_len = ctypes.c_int32()
-    rc = lib.vt_compile_matcher(
+    common = (
         pat_flat.ctypes.data_as(I32P),
-        pat_offs.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        pat_offs.ctypes.data_as(I64P),
         n,
         w_offset.ctypes.data_as(I32P),
         w_flat.ctypes.data_as(I32P),
-        w_offs.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
-        1 if project else 0,
-        n_symbols,
+        w_offs.ctypes.data_as(I64P),
+    )
+    outs = (
         ctypes.byref(ptrs[0]), ctypes.byref(n_syms),
         ctypes.byref(ptrs[1]), ctypes.byref(ptrs[2]), ctypes.byref(ptrs[3]),
         ctypes.byref(ptrs[4]), ctypes.byref(n_slots),
@@ -319,6 +343,37 @@ def compile_matcher_native(
         ctypes.byref(ptrs[7]), ctypes.byref(ptrs[8]), ctypes.byref(n_rows),
         ctypes.byref(max_chunks), ctypes.byref(max_len),
     )
+    tag_ptrs = None
+    if is_tag is not None:
+        if not hasattr(lib, "vt_compile_matcher_tags"):
+            return None
+        is_tag = np.ascontiguousarray(is_tag, dtype=np.uint8)
+        tag_tok = np.ascontiguousarray(tag_tok, dtype=np.int32)
+        tag_rel = np.ascontiguousarray(tag_rel, dtype=np.int32)
+        for a in (is_tag, tag_tok, tag_rel):
+            assert len(a) == n
+        tag_ptrs = [I32P(), I32P(), I32P(), I32P()]
+        tag_woffs_p = I64P()
+        n_tag = ctypes.c_int64()
+        rc = lib.vt_compile_matcher_tags(
+            *common,
+            is_tag.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+            tag_tok.ctypes.data_as(I32P),
+            tag_rel.ctypes.data_as(I32P),
+            1 if project else 0,
+            n_symbols,
+            *outs,
+            ctypes.byref(tag_ptrs[0]), ctypes.byref(tag_ptrs[1]),
+            ctypes.byref(tag_ptrs[2]), ctypes.byref(tag_ptrs[3]),
+            ctypes.byref(tag_woffs_p), ctypes.byref(n_tag),
+        )
+    else:
+        rc = lib.vt_compile_matcher(
+            *common,
+            1 if project else 0,
+            n_symbols,
+            *outs,
+        )
     if rc == 3:
         raise OverflowError("weight overflow during merge")
     if rc != 0:
@@ -347,6 +402,16 @@ def compile_matcher_native(
         "max_len": int(max_len.value),
         "n_symbols": int(n_syms.value) if project else n_symbols,
     }
+    if tag_ptrs is not None:
+        k = int(n_tag.value)
+        out["tag_pat"] = take(tag_ptrs[0], (max(k, 1),))[:k]
+        out["tag_tok"] = take(tag_ptrs[1], (max(k, 1),))[:k]
+        out["tag_rel"] = take(tag_ptrs[2], (max(k, 1),))[:k]
+        woffs = np.ctypeslib.as_array(tag_woffs_p, shape=(k + 1,)).copy()
+        lib.vt_free(tag_woffs_p)
+        nw = int(woffs[-1]) if k else 0
+        out["tag_wflat"] = take(tag_ptrs[3], (max(nw, 1),))[:nw]
+        out["tag_woffs"] = woffs
     return out
 
 
