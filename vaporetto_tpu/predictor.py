@@ -118,6 +118,76 @@ class Predictor:
             self._jit_cache[key] = fn
         return fn
 
+    def serve_boundaries_fn(self):
+        """HBM-lean serving path: ``fn(codepoints, lengths) -> int8 (B, L-1)``.
+
+        For throughput serving where only the segmentation is needed (no
+        ``--scores``, no tags). Compared to the full predict function it
+        * classifies character types ON DEVICE (a VMEM-resident 64 KiB
+          uint8 BMP table + astral kanji-extension range checks — exact
+          parity with :func:`sentence.char_types_of_codepoints`),
+        * returns only the thresholded per-gap boundary mask as int8
+          instead of the padded int32 score buffer and the match tensor.
+
+        The codepoint input may be **uint16** for pure-BMP batches (callers
+        route the rare astral-plane-containing lines to the int32 path —
+        dtype dispatch retraces automatically): on this HBM-bandwidth-bound
+        pipeline the bytes/char ARE the throughput, and uint16-in/int8-out
+        is ~3 B/char vs the full path's ~16 B/char.
+        """
+        import jax
+        import jax.numpy as jnp
+
+        from .sentence import _CHAR_TYPE_TABLE_SMALL, CharacterType
+
+        tables = dict(self._tables())
+        tables["ctype_bmp"] = jnp.asarray(_CHAR_TYPE_TABLE_SMALL)
+        c = self.compiled
+        char_off_np = c.char_matcher.off if c.char_matcher is not None else None
+        type_off_np = c.type_matcher.off if c.type_matcher is not None else None
+        traced = _make_traced_fn(c, char_off_np, type_off_np)
+        pad_left = c.pad_left
+        # plain Python ints: eager jnp scalars would be closed over as
+        # device-buffer constants, which the axon tunnel re-ships on every
+        # call (~16 ms each; see PERF.md)
+        kanji = int(CharacterType.KANJI)
+        other = int(CharacterType.OTHER)
+
+        def fn(cps, lengths, tables):
+            B, L = cps.shape
+            if cps.dtype == jnp.uint16:
+                cps = cps.astype(jnp.int32)
+                cts = tables["ctype_bmp"][cps].astype(jnp.int32)
+            else:
+                bmp = cps < 0x10000
+                cts = jnp.where(
+                    bmp,
+                    tables["ctype_bmp"][jnp.where(bmp, cps, 0)].astype(
+                        jnp.int32
+                    ),
+                    jnp.where(
+                        ((cps >= 0x20000) & (cps <= 0x2A6DF))
+                        | ((cps >= 0x2A700) & (cps <= 0x2B73F))
+                        | ((cps >= 0x2B740) & (cps <= 0x2B81F))
+                        | ((cps >= 0x2B820) & (cps <= 0x2CEAF))
+                        | ((cps >= 0x2F800) & (cps <= 0x2FA1F)),
+                        jnp.int32(kanji),
+                        jnp.int32(other),
+                    ),
+                )
+            scores, _, _ = traced(cps, cts, lengths, tables)
+            gaps = scores[:, pad_left : pad_left + L - 1] > 0
+            t_idx = jax.lax.broadcasted_iota(jnp.int32, (B, L - 1), 1)
+            gaps = gaps & (t_idx < (lengths[:, None] - 1))
+            return gaps.astype(jnp.int8)
+
+        jitted = jax.jit(fn)
+
+        def wrapper(cps, lengths):
+            return jitted(cps, lengths, tables)
+
+        return wrapper
+
     def predict_raw_fn(self):
         """The raw (unjitted) batch predict function over device tables.
 
