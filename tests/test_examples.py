@@ -1,0 +1,41 @@
+"""Smoke tests for the deployment examples.
+
+The reference ships deployment targets as examples (examples/wasm/,
+examples/embedded_device/); ours are the batch serving loop and the AOT
+artifact flow. Run as subprocesses on CPU, like the CLI tests.
+"""
+
+import subprocess
+import sys
+
+MODEL_BIN = "/root/reference/resources/model.bin"
+_ENV = {"PATH": "/usr/bin:/bin", "JAX_PLATFORMS": "cpu",
+        "PYTHONPATH": "/root/repo", "HOME": "/root"}
+
+
+def test_serve_example():
+    out = subprocess.run(
+        [sys.executable, "examples/serve.py", MODEL_BIN],
+        input="まぁ社長は火星猫だ\n火星猫だ\n",
+        capture_output=True, text=True, timeout=560, env=_ENV,
+        cwd="/root/repo",
+    )
+    assert out.returncode == 0, out.stderr
+    lines = out.stdout.splitlines()
+    assert lines[0] == "まぁ 社長 は 火星 猫 だ"
+    assert lines[1] == "火星 猫 だ"
+
+
+def test_embedded_artifact_example():
+    out = subprocess.run(
+        [sys.executable, "examples/embedded_artifact.py", MODEL_BIN],
+        capture_output=True, text=True, timeout=560, env=_ENV,
+        cwd="/root/repo",
+    )
+    assert out.returncode == 0, out.stderr
+    assert "compiled artifact:" in out.stdout
+    assert "artifact load:" in out.stdout
+    assert out.stdout.rstrip().endswith(
+        "まぁ/名詞/マー 社長/名詞/シャチョー は/助詞/ワ "
+        "火星/名詞/カセー 猫/名詞/ネコ だ/助動詞/ダ"
+    )
