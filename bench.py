@@ -23,6 +23,7 @@ chars/s against that estimate.
 from __future__ import annotations
 
 import json
+import subprocess
 import sys
 import time
 
@@ -31,8 +32,35 @@ import numpy as np
 REFERENCE_CHARS_PER_SEC = 40e6  # estimated from BASELINE.md wall times
 BYTES_PER_CHAR_UTF8 = 3  # Japanese text is ~3 bytes/char in UTF-8
 
+# The axon tunnel occasionally wedges a dispatch indefinitely (observed:
+# the identical program completes in <1 s or hangs forever, nondeterministic).
+# The measurement therefore runs in a child process under a watchdog with
+# retries; the parent only relays the JSON line.
+CHILD_TIMEOUTS = (420, 300, 300)
+
 
 def main() -> int:
+    if "--_run" in sys.argv:
+        return _measure()
+    for timeout in CHILD_TIMEOUTS:
+        try:
+            out = subprocess.run(
+                [sys.executable, __file__, "--_run"],
+                capture_output=True, text=True, timeout=timeout,
+            )
+        except subprocess.TimeoutExpired:
+            print("bench attempt timed out; retrying", file=sys.stderr)
+            continue
+        lines = [l for l in out.stdout.splitlines() if l.startswith("{")]
+        if out.returncode == 0 and lines:
+            print(lines[-1])
+            return 0
+        print(f"bench attempt failed rc={out.returncode}: "
+              f"{out.stderr[-500:]}", file=sys.stderr)
+    return 1
+
+
+def _measure() -> int:
     from vaporetto_tpu.models.model import Model
     from vaporetto_tpu.predictor import Predictor
     from vaporetto_tpu.sentence import char_types_of_codepoints

@@ -64,6 +64,9 @@ def main(argv: Optional[List[str]] = None) -> int:
     p.add_argument("--no-norm", action="store_true",
                    help="Do not normalize input strings before prediction.")
     p.add_argument("--batch-size", type=int, default=BATCH)
+    p.add_argument("--backend", choices=("device", "host"), default="device",
+                   help="device = jitted TPU pipeline (throughput); host = "
+                   "native C++ evaluator (low latency, bit-identical).")
     args = p.parse_args(argv)
 
     pre_filter = KyteaFullwidthFilter()
@@ -71,7 +74,7 @@ def main(argv: Optional[List[str]] = None) -> int:
 
     print("Loading model file...", file=sys.stderr)
     model = Model.read(args.model)
-    predictor = Predictor(model, args.predict_tags)
+    predictor = Predictor(model, args.predict_tags, backend=args.backend)
     if args.tag_scores:
         predictor.store_tag_scores(True)
 

@@ -109,6 +109,35 @@ def _load() -> Optional[ctypes.CDLL]:
     ]
     U8P = ctypes.POINTER(ctypes.c_uint8)
     PI64P = ctypes.POINTER(I64P)
+    lib.vt_host_new.restype = ctypes.c_void_p
+    lib.vt_host_new.argtypes = [ctypes.c_int32, ctypes.c_int32, ctypes.c_int32]
+    lib.vt_host_free.restype = None
+    lib.vt_host_free.argtypes = [ctypes.c_void_p]
+    _I32P = ctypes.POINTER(ctypes.c_int32)
+    lib.vt_host_set_char.restype = ctypes.c_int
+    lib.vt_host_set_char.argtypes = [
+        ctypes.c_void_p,
+        _I32P, _I32P, _I32P, ctypes.c_int64,  # base/check/inherit
+        _I32P, _I32P, ctypes.c_int64,  # rows_first/cnt
+        _I32P, _I32P, ctypes.c_int64,  # w8/off
+        _I32P, ctypes.c_int64,  # sym_table
+    ]
+    lib.vt_host_set_type_cache.restype = ctypes.c_int
+    lib.vt_host_set_type_cache.argtypes = [
+        ctypes.c_void_p, _I32P, ctypes.c_int64, ctypes.c_int32,
+    ]
+    lib.vt_host_set_type_trie.restype = ctypes.c_int
+    lib.vt_host_set_type_trie.argtypes = [
+        ctypes.c_void_p,
+        _I32P, _I32P, _I32P, ctypes.c_int64,
+        _I32P, _I32P, ctypes.c_int64,
+        _I32P, _I32P, ctypes.c_int64,
+    ]
+    lib.vt_host_predict.restype = ctypes.c_int
+    lib.vt_host_predict.argtypes = [
+        ctypes.c_void_p, _I32P, ctypes.POINTER(ctypes.c_uint8),
+        ctypes.c_int64, _I32P, _I32P, _I32P,
+    ]
     lib.vt_compile_matcher_tags.restype = ctypes.c_int
     lib.vt_compile_matcher_tags.argtypes = [
         I32P, I64P, ctypes.c_int64,  # patterns
@@ -221,6 +250,114 @@ class NativeExtractor:
     def __del__(self):
         try:
             self._lib.vt_extr_free(self._h)
+        except Exception:
+            pass
+
+
+class NativeHostPredictor:
+    """ctypes wrapper for the C++ host predictor (native/host_predictor.cc).
+
+    Evaluates a :class:`CompiledModel`'s packed tables on CPU with results
+    bit-identical to the device pipeline — the low-latency small-batch
+    serving path and the analogue of the reference's embedded predictor
+    (reference predictor.rs:639-664, examples/embedded_device/).
+    """
+
+    def __init__(self, compiled):
+        lib = _load()
+        if lib is None or not hasattr(lib, "vt_host_predict"):
+            raise RuntimeError("native library unavailable")
+        self._lib = lib
+        c = compiled
+        self.pad_left = int(c.pad_left)
+        self.pad_right = int(c.pad_right)
+        self.has_char = c.char_matcher is not None
+        # the device path exposes per-position type states only for the
+        # trie variant (the cache variant has no automaton states)
+        self.has_type = (
+            c.type_matcher is not None and c.type_cache_table is None
+        )
+        self._h = lib.vt_host_new(
+            int(c.bias), self.pad_left, self.pad_right
+        )
+        I32P = ctypes.POINTER(ctypes.c_int32)
+
+        def p32(a):
+            return a.ctypes.data_as(I32P)
+
+        # keep the contiguous copies alive for the duration of the setter
+        # calls only — the C++ side copies everything it needs
+        if c.char_matcher is not None:
+            m = c.char_matcher
+            arrs = [
+                np.ascontiguousarray(x, dtype=np.int32)
+                for x in (m.base, m.check, m.inherit, m.rows_first,
+                          m.rows_cnt, m.w8, m.off, c.char_sym_table)
+            ]
+            rc = lib.vt_host_set_char(
+                self._h,
+                p32(arrs[0]), p32(arrs[1]), p32(arrs[2]), len(arrs[0]),
+                p32(arrs[3]), p32(arrs[4]), len(arrs[3]),
+                p32(arrs[5]), p32(arrs[6]), len(arrs[6]),
+                p32(arrs[7]), len(arrs[7]),
+            )
+            if rc != 0:
+                raise RuntimeError("host predictor char setup failed")
+        if c.type_cache_table is not None:
+            table = np.ascontiguousarray(c.type_cache_table, dtype=np.int32)
+            lib.vt_host_set_type_cache(
+                self._h, p32(table), len(table), int(c.type_window_size)
+            )
+        elif c.type_matcher is not None:
+            m = c.type_matcher
+            arrs = [
+                np.ascontiguousarray(x, dtype=np.int32)
+                for x in (m.base, m.check, m.inherit, m.rows_first,
+                          m.rows_cnt, m.w8, m.off)
+            ]
+            rc = lib.vt_host_set_type_trie(
+                self._h,
+                p32(arrs[0]), p32(arrs[1]), p32(arrs[2]), len(arrs[0]),
+                p32(arrs[3]), p32(arrs[4]), len(arrs[3]),
+                p32(arrs[5]), p32(arrs[6]), len(arrs[6]),
+            )
+            if rc != 0:
+                raise RuntimeError("host predictor type setup failed")
+
+    def predict(self, codepoints: np.ndarray, char_types: np.ndarray):
+        """Score one sentence: returns (padded_scores, char_match,
+        type_match) int32 arrays, same layout as the device path."""
+        n = len(codepoints)
+        cps = np.ascontiguousarray(codepoints, dtype=np.int32)
+        cts = np.ascontiguousarray(char_types, dtype=np.uint8)
+        S = self.pad_left + max(n - 1, 0) + self.pad_right
+        scores = np.empty(S, dtype=np.int32)
+        char_match = np.empty(max(n, 1), dtype=np.int32)
+        type_match = np.empty(max(n, 1), dtype=np.int32)
+        I32P = ctypes.POINTER(ctypes.c_int32)
+        rc = self._lib.vt_host_predict(
+            self._h,
+            cps.ctypes.data_as(I32P) if n else char_match.ctypes.data_as(I32P),
+            cts.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8))
+            if n
+            else ctypes.cast(type_match.ctypes.data_as(I32P),
+                             ctypes.POINTER(ctypes.c_uint8)),
+            n,
+            scores.ctypes.data_as(I32P),
+            char_match.ctypes.data_as(I32P),
+            type_match.ctypes.data_as(I32P),
+        )
+        if rc != 0:
+            raise RuntimeError("host predict failed")
+        return (
+            scores,
+            char_match[:n] if self.has_char else None,
+            type_match[:n] if self.has_type else None,
+        )
+
+    def __del__(self):
+        try:
+            self._lib.vt_host_free(self._h)
         except Exception:
             pass
 

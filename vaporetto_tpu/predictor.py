@@ -35,14 +35,31 @@ __all__ = ["Predictor"]
 class Predictor:
     """Compiles a model at load time and runs boundary + tag inference."""
 
+    # class-level defaults keep instances built via ``__new__`` (tests,
+    # deserializers) on the device path
+    backend = "device"
+    _host_predictor = False
+
     def __init__(self, model: Model, predict_tags: bool = False,
-                 compiled: Optional[CompiledModel] = None):
+                 compiled: Optional[CompiledModel] = None,
+                 backend: str = "device"):
+        """``backend``: ``"device"`` (default) runs the jitted TPU pipeline;
+        ``"host"`` runs the native C++ evaluator over the same compiled
+        tables (native/host_predictor.cc) — bit-identical results with
+        microsecond per-sentence latency, for small-batch/interactive
+        serving where device dispatch latency dominates. Falls back to the
+        device path when the native library is unavailable.
+        """
         self.compiled = compiled if compiled is not None else compile_model(
             model, predict_tags
         )
+        if backend not in ("device", "host"):
+            raise ValueError(f"unknown backend {backend!r}")
+        self.backend = backend
         self.predict_tags_enabled = predict_tags
         self._store_tag_scores = False
         self._device_tables = None
+        self._host_predictor = False  # False = not built yet; None = no lib
         self._jit_cache: Dict[Tuple[int, int], object] = {}
 
     # ------------------------------------------------------------------
@@ -227,8 +244,44 @@ class Predictor:
     #: (identical results, bounded device shapes)
     LONG_SENTENCE_THRESHOLD = 8192
 
+    def _host(self):
+        """The native host evaluator, or None when unavailable."""
+        if self._host_predictor is False:
+            try:
+                from .native import NativeHostPredictor
+
+                self._host_predictor = NativeHostPredictor(self.compiled)
+            except Exception:
+                self._host_predictor = None
+        return self._host_predictor
+
+    def predict_host_batch(self, sentences: Sequence[Sentence]) -> bool:
+        """Predict via the native host evaluator; returns False (and does
+        nothing) when the native library is unavailable."""
+        host = self._host()
+        if host is None:
+            return False
+        pad = self.compiled.pad_left
+        for s in sentences:
+            n = len(s)
+            scores, char_match, type_match = host.predict(
+                s.codepoints, s.char_types
+            )
+            s.score_padding = pad
+            s.boundary_scores = scores[: pad + max(n - 1, 0) + 1].copy()
+            exposed = scores[pad : pad + max(n - 1, 0)]
+            s.boundaries = (exposed > 0).astype(np.uint8)
+            if char_match is not None:
+                s.char_pma_states = char_match.astype(np.int64)
+            if type_match is not None:
+                s.type_pma_states = type_match.astype(np.int64)
+            s.set_predictor(self)
+        return True
+
     def predict(self, sentence: Sentence) -> None:
         """Predict word boundaries of the given sentence in place."""
+        if self.backend == "host" and self.predict_host_batch([sentence]):
+            return
         if len(sentence) > self.LONG_SENTENCE_THRESHOLD:
             from .parallel.chunking import predict_long
 
@@ -239,6 +292,8 @@ class Predictor:
     def predict_batch(self, sentences: Sequence[Sentence]) -> None:
         """Predict boundaries for a batch of sentences in place."""
         if not sentences:
+            return
+        if self.backend == "host" and self.predict_host_batch(sentences):
             return
         cps, cts, lengths = tensorize(sentences)
         B, L = cps.shape
