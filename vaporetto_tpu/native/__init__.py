@@ -138,6 +138,13 @@ def _load() -> Optional[ctypes.CDLL]:
         ctypes.c_void_p, _I32P, ctypes.POINTER(ctypes.c_uint8),
         ctypes.c_int64, _I32P, _I32P, _I32P,
     ]
+    _I64P = ctypes.POINTER(ctypes.c_int64)
+    lib.vt_host_predict_batch.restype = ctypes.c_int
+    lib.vt_host_predict_batch.argtypes = [
+        ctypes.c_void_p, _I32P, ctypes.POINTER(ctypes.c_uint8),
+        _I64P, ctypes.c_int64, _I64P,
+        _I32P, _I32P, _I32P, ctypes.c_int32,
+    ]
     lib.vt_compile_matcher_tags.restype = ctypes.c_int
     lib.vt_compile_matcher_tags.argtypes = [
         I32P, I64P, ctypes.c_int64,  # patterns
@@ -354,6 +361,48 @@ class NativeHostPredictor:
             char_match[:n] if self.has_char else None,
             type_match[:n] if self.has_type else None,
         )
+
+    def predict_batch(self, cps_list, cts_list, n_threads: int = 0):
+        """Score many sentences in one native call (worker threads inside).
+
+        Returns (scores_flat, score_offsets, char_match_flat,
+        type_match_flat, offsets): line i's padded scores are
+        ``scores_flat[score_offsets[i]:score_offsets[i+1]]`` and its match
+        states ``*_flat[offsets[i]:offsets[i+1]]``.
+        """
+        n = len(cps_list)
+        lens = np.fromiter((len(c) for c in cps_list), np.int64, n)
+        offsets = np.zeros(n + 1, dtype=np.int64)
+        np.cumsum(lens, out=offsets[1:])
+        s_sizes = self.pad_left + np.maximum(lens - 1, 0) + self.pad_right
+        score_offsets = np.zeros(n + 1, dtype=np.int64)
+        np.cumsum(s_sizes, out=score_offsets[1:])
+        total = int(offsets[-1])
+        cps_flat = np.empty(max(total, 1), dtype=np.int32)
+        cts_flat = np.empty(max(total, 1), dtype=np.uint8)
+        for i, (c, t) in enumerate(zip(cps_list, cts_list)):
+            cps_flat[offsets[i] : offsets[i + 1]] = c
+            cts_flat[offsets[i] : offsets[i + 1]] = t
+        scores_flat = np.empty(max(int(score_offsets[-1]), 1), dtype=np.int32)
+        char_flat = np.empty(max(total, 1), dtype=np.int32)
+        type_flat = np.empty(max(total, 1), dtype=np.int32)
+        I32P = ctypes.POINTER(ctypes.c_int32)
+        I64P = ctypes.POINTER(ctypes.c_int64)
+        rc = self._lib.vt_host_predict_batch(
+            self._h,
+            cps_flat.ctypes.data_as(I32P),
+            cts_flat.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+            offsets.ctypes.data_as(I64P),
+            n,
+            score_offsets.ctypes.data_as(I64P),
+            scores_flat.ctypes.data_as(I32P),
+            char_flat.ctypes.data_as(I32P),
+            type_flat.ctypes.data_as(I32P),
+            n_threads,
+        )
+        if rc != 0:
+            raise RuntimeError("host batch predict failed")
+        return scores_flat, score_offsets, char_flat, type_flat, offsets
 
     def __del__(self):
         try:

@@ -19,6 +19,7 @@
 #include <cstdint>
 #include <cstring>
 #include <queue>
+#include <thread>
 #include <vector>
 
 namespace {
@@ -241,6 +242,48 @@ int vt_host_predict(void* hp, const int32_t* cps, const uint8_t* cts,
   } else {
     for (int64_t t = 0; t < n; ++t) type_match[t] = -1;
   }
+  return 0;
+}
+
+// Batched prediction: all lines in flat arrays, one call. `offsets` has
+// n_lines+1 entries delimiting each line's codepoints/char-types;
+// `score_offsets` (n_lines+1) delimits each line's
+// pad_left + max(len-1, 0) + pad_right score slots. char/type match slots
+// share `offsets`. Lines are distributed over `n_threads` worker threads
+// (0 = hardware concurrency) — each line is independent.
+int vt_host_predict_batch(void* hp, const int32_t* cps_flat,
+                          const uint8_t* cts_flat, const int64_t* offsets,
+                          int64_t n_lines, const int64_t* score_offsets,
+                          int32_t* scores_flat, int32_t* char_match_flat,
+                          int32_t* type_match_flat, int32_t n_threads) {
+  if (n_threads <= 0) {
+    n_threads = static_cast<int32_t>(std::thread::hardware_concurrency());
+    if (n_threads <= 0) n_threads = 1;
+  }
+  if (n_threads > n_lines) n_threads = static_cast<int32_t>(n_lines);
+  if (n_threads < 1) n_threads = 1;
+  auto work = [&](int64_t lo, int64_t hi) {
+    for (int64_t i = lo; i < hi; ++i) {
+      vt_host_predict(hp, cps_flat + offsets[i], cts_flat + offsets[i],
+                      offsets[i + 1] - offsets[i],
+                      scores_flat + score_offsets[i],
+                      char_match_flat + offsets[i],
+                      type_match_flat + offsets[i]);
+    }
+  };
+  if (n_threads == 1) {
+    work(0, n_lines);
+    return 0;
+  }
+  std::vector<std::thread> threads;
+  int64_t per = (n_lines + n_threads - 1) / n_threads;
+  for (int32_t t = 0; t < n_threads; ++t) {
+    int64_t lo = t * per;
+    int64_t hi = lo + per < n_lines ? lo + per : n_lines;
+    if (lo >= hi) break;
+    threads.emplace_back(work, lo, hi);
+  }
+  for (auto& th : threads) th.join();
   return 0;
 }
 

@@ -257,24 +257,33 @@ class Predictor:
 
     def predict_host_batch(self, sentences: Sequence[Sentence]) -> bool:
         """Predict via the native host evaluator; returns False (and does
-        nothing) when the native library is unavailable."""
+        nothing) when the native library is unavailable.
+
+        One native call scores the whole batch (worker threads inside the
+        library), so the Python/ctypes overhead is per batch, not per
+        sentence."""
         host = self._host()
         if host is None:
             return False
         pad = self.compiled.pad_left
-        for s in sentences:
+        scores_flat, s_offs, char_flat, type_flat, offs = host.predict_batch(
+            [s.codepoints for s in sentences],
+            [s.char_types for s in sentences],
+        )
+        for i, s in enumerate(sentences):
             n = len(s)
-            scores, char_match, type_match = host.predict(
-                s.codepoints, s.char_types
-            )
+            lo = int(s_offs[i])
             s.score_padding = pad
-            s.boundary_scores = scores[: pad + max(n - 1, 0) + 1].copy()
-            exposed = scores[pad : pad + max(n - 1, 0)]
+            s.boundary_scores = scores_flat[
+                lo : lo + pad + max(n - 1, 0) + 1
+            ].copy()
+            exposed = scores_flat[lo + pad : lo + pad + max(n - 1, 0)]
             s.boundaries = (exposed > 0).astype(np.uint8)
-            if char_match is not None:
-                s.char_pma_states = char_match.astype(np.int64)
-            if type_match is not None:
-                s.type_pma_states = type_match.astype(np.int64)
+            clo = int(offs[i])
+            if host.has_char:
+                s.char_pma_states = char_flat[clo : clo + n].astype(np.int64)
+            if host.has_type:
+                s.type_pma_states = type_flat[clo : clo + n].astype(np.int64)
             s.set_predictor(self)
         return True
 
