@@ -72,11 +72,13 @@ class TestHostPredictor:
         """prefer_type_trie exercises the host type-side AC scan."""
         rng = np.random.default_rng(42)
         model = random_model(rng, type_window=3)
-        compiled = compile_model(model, False, prefer_type_trie=True)
+        # predict_tags=True (no tag models -> empty tag_meta) keeps the
+        # per-position state outputs exposed for the comparison below
+        compiled = compile_model(model, True, prefer_type_trie=True)
         assert compiled.type_matcher is not None
-        pred = Predictor(None, False, compiled=compiled, backend="host")
+        pred = Predictor(None, True, compiled=compiled, backend="host")
         assert pred._host() is not None
-        dev = Predictor(None, False, compiled=compiled)
+        dev = Predictor(None, True, compiled=compiled)
         for _ in range(8):
             text = random_text(rng, int(rng.integers(1, 60)))
             s_h = Sentence.from_raw(text)

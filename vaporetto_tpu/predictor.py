@@ -280,10 +280,17 @@ class Predictor:
             exposed = scores_flat[lo + pad : lo + pad + max(n - 1, 0)]
             s.boundaries = (exposed > 0).astype(np.uint8)
             clo = int(offs[i])
-            if host.has_char:
-                s.char_pma_states = char_flat[clo : clo + n].astype(np.int64)
-            if host.has_type:
-                s.type_pma_states = type_flat[clo : clo + n].astype(np.int64)
+            # state exposure parity with the device path: states exist iff
+            # the predictor was built for tag prediction
+            if self.compiled.tag_meta is not None:
+                if host.has_char:
+                    s.char_pma_states = char_flat[clo : clo + n].astype(
+                        np.int64
+                    )
+                if host.has_type:
+                    s.type_pma_states = type_flat[clo : clo + n].astype(
+                        np.int64
+                    )
             s.set_predictor(self)
         return True
 
@@ -489,6 +496,10 @@ def _make_traced_fn(c, char_off_np, type_off_np):
     pad_left = c.pad_left
     pad_right = c.pad_right
     bias = c.bias
+    # per-position match states are only consumed by tag scoring; on a
+    # bandwidth-bound pipeline not returning them lets XLA drop the
+    # (B, L) int32 stores (~4 B/char of HBM writes) from the hot path
+    want_states = c.tag_meta is not None
 
     def fn(cps, cts, lengths, tables):
         B, L = cps.shape
@@ -540,6 +551,8 @@ def _make_traced_fn(c, char_off_np, type_off_np):
                 type_match, rf, rc, w8, off, type_off_np, scores, pad_left,
                 c.type_matcher.max_chunks,
             )
+        if not want_states:
+            return scores, None, None
         return scores, char_match, type_match
 
     return fn
