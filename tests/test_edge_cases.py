@@ -69,6 +69,79 @@ class TestLongWordMultiChunk:
         assert s.boundary_scores_list() == expected.tolist()
 
 
+class TestVeryLongDictWords:
+    """The reference allows dictionary words up to 32 767 chars
+    (char_scorer/boundary_scorer.rs:67-74) and clips variable-length adds
+    at the sentence edge (predictor.rs:176-213). Words of 100 and 1000+
+    chars exercise the scatter fallback in ops/score.py (the shifted-add
+    unroll would blow up the trace) and the padding-sized clipping scheme.
+    """
+
+    def _long_word_model(self, word_lens, seed=7):
+        rng = np.random.default_rng(seed)
+        chars = [chr(c) for c in range(0x4E00, 0x4E80)]
+        words = []
+        for ln in word_lens:
+            words.append("".join(rng.choice(chars) for _ in range(ln)))
+        dict_model = [
+            WordWeightRecord(
+                w, [int(x) for x in rng.integers(-9, 10, len(w) + 1)]
+            )
+            for w in words
+        ]
+        ngrams = [
+            NgramData("".join(rng.choice(chars) for _ in range(n)),
+                      [int(x) for x in rng.integers(-5, 6, 7 - n)])
+            for n in (1, 2, 3)
+        ]
+        model = Model(ngrams, [NgramData(bytes([5]), [3, 1, 4, 1, 5])],
+                      dict_model, 2, 3, 3)
+        return model, words
+
+    def _assert_oracle_match(self, pred, texts):
+        from vaporetto_tpu.ops.host_reference import reference_scores
+
+        sents = [Sentence.from_raw(t) for t in texts]
+        pred.predict_batch(sents)
+        for s in sents:
+            expected = reference_scores(
+                pred.compiled, s.codepoints, s.char_types
+            )
+            assert s.boundary_scores_list() == expected.tolist()
+
+    def test_100_char_word(self):
+        model, words = self._long_word_model([100, 37, 5])
+        pred = Predictor(model)
+        w = words[0]
+        self._assert_oracle_match(
+            pred, [w, "口" + w + "口", w[:50], w + w]
+        )
+
+    def test_1000_char_word_edge_clipping(self):
+        model, words = self._long_word_model([1000, 333, 12])
+        pred = Predictor(model)
+        assert pred.compiled.char_matcher.max_chunks >= 126
+        w = words[0]
+        # word at the very start/end of the sentence: left-edge clipping
+        self._assert_oracle_match(pred, [w, w + "口口", "口" + words[1]])
+
+    def test_long_word_trace_stays_bounded(self):
+        """The scoring trace must not scale with chunks x offsets: the
+        scatter fallback keeps it linear in max_chunks."""
+        import jax
+
+        model, words = self._long_word_model([1000, 500, 250, 125, 60, 30])
+        pred = Predictor(model)
+        fn = pred.predict_raw_fn()
+        B, L = 2, 1100
+        cps = np.zeros((B, L), dtype=np.int32)
+        cts = np.zeros((B, L), dtype=np.int32)
+        lengths = np.full(B, L, dtype=np.int32)
+        jaxpr = jax.make_jaxpr(fn)(cps, cts, lengths)
+        n_eqns = len(jaxpr.jaxpr.eqns)
+        assert n_eqns < 4000, f"trace blew up: {n_eqns} equations"
+
+
 class TestScaleSmoke:
     def test_5k_dict_words(self):
         """Production-ish dictionary through the native trie builder."""

@@ -311,6 +311,30 @@ class TestPredictor:
         assert s.tags[4] == "名詞"
         assert s.tags[5] == "ヒト"
 
+    def test_serialization_keeps_small_table_variants(self, monkeypatch):
+        """A deserialized artifact must support every runtime config of the
+        original: the small-table variants (VAPORETTO_TPU_SMALL_TABLES=1)
+        require char_hash_* / type_pos_tables to survive serialization."""
+        pred = Predictor(create_test_model(), False)
+        c = pred.compiled
+        data = pred.serialize_to_vec()
+        pred2 = Predictor.deserialize_from_slice(data)
+        c2 = pred2.compiled
+        if c.char_hash_keys is not None:
+            assert c2.char_hash_keys is not None
+            assert (c2.char_hash_keys == c.char_hash_keys).all()
+            assert (c2.char_hash_syms == c.char_hash_syms).all()
+            assert c2.char_hash_mul == c.char_hash_mul
+            assert c2.char_hash_shift == c.char_hash_shift
+        if c.type_pos_tables is not None:
+            assert c2.type_pos_tables is not None
+            assert (c2.type_pos_tables == c.type_pos_tables).all()
+            assert c2.type_pos_m == c.type_pos_m
+        monkeypatch.setenv("VAPORETTO_TPU_SMALL_TABLES", "1")
+        s = Sentence.from_raw("この人は地球人だ")
+        pred2.predict(s)
+        assert s.boundary_scores_list() == [-22, 54, 58, 43, -54, 68, 48]
+
     def test_fill_tags_unsupported(self):
         """Reference predictor.rs:974-984."""
         pred = Predictor(create_test_model(), False)

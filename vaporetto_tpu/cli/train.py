@@ -52,7 +52,9 @@ def main(argv: Optional[List[str]] = None) -> int:
                    help="The solver. {0..7} (see LIBLINEAR documentation)")
     p.add_argument("--no-norm", action="store_true",
                    help="Do not normalize training data.")
-    p.add_argument("--zstd-workers", type=int, default=0)
+    p.add_argument("--zstd-workers", type=int, default=0,
+                   help="The number of zstd workers (multithreaded "
+                   "compression; 0 = single-threaded).")
     args = p.parse_args(argv)
 
     if not args.tok and not args.part:
@@ -107,7 +109,7 @@ def main(argv: Optional[List[str]] = None) -> int:
     print("Finish training.", file=sys.stderr)
 
     with open(args.model, "wb") as f:
-        model.write(f, zstd_level=19)
+        model.write(f, zstd_level=19, zstd_workers=args.zstd_workers)
     return 0
 
 

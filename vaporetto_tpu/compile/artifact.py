@@ -86,6 +86,17 @@ def serialize_compiled(c: CompiledModel, predict_tags: bool) -> bytes:
             manifest[f"{name}_has_tagw"] = True
     if c.type_cache_table is not None:
         arrays["type_cache"] = c.type_cache_table
+    # optional small-table variants (VAPORETTO_TPU_SMALL_TABLES=1): a
+    # deserialized predictor must support every runtime config the
+    # original did, so these ride along when present
+    if c.char_hash_keys is not None:
+        manifest["char_hash_mul"] = c.char_hash_mul
+        manifest["char_hash_shift"] = c.char_hash_shift
+        arrays["char_hash_keys"] = c.char_hash_keys
+        arrays["char_hash_syms"] = c.char_hash_syms
+    if c.type_pos_tables is not None:
+        manifest["type_pos_m"] = c.type_pos_m
+        arrays["type_pos_tables"] = c.type_pos_tables
     if c.tag_meta is not None:
         manifest["tag_meta"] = {
             "tokens": sorted(c.tag_meta.token_ids, key=c.tag_meta.token_ids.get),
@@ -169,5 +180,11 @@ def deserialize_compiled(data: bytes) -> Tuple[CompiledModel, bool]:
         type_cache_table=arrays.get("type_cache"),
         tag_meta=tag_meta,
         n_tags=manifest["n_tags"],
+        char_hash_mul=manifest.get("char_hash_mul", 0),
+        char_hash_shift=manifest.get("char_hash_shift", 0),
+        char_hash_keys=arrays.get("char_hash_keys"),
+        char_hash_syms=arrays.get("char_hash_syms"),
+        type_pos_tables=arrays.get("type_pos_tables"),
+        type_pos_m=manifest.get("type_pos_m", 0),
     )
     return compiled, manifest["predict_tags"]

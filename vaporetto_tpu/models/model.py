@@ -167,12 +167,18 @@ class Model:
             w.i32_vec(tm.bias)
         return w.getvalue()
 
-    def write(self, f, *, zstd_level: Optional[int] = None) -> None:
+    def write(self, f, *, zstd_level: Optional[int] = None,
+              zstd_workers: int = 0) -> None:
+        """``zstd_workers`` enables libzstd's multithreaded compression
+        (reference train/src/main.rs:185-187, ``zstd::stream::Encoder::
+        multithread``); 0 = single-threaded."""
         data = self.to_bytes()
         if zstd_level is not None:
             import zstandard
 
-            data = zstandard.ZstdCompressor(level=zstd_level).compress(data)
+            data = zstandard.ZstdCompressor(
+                level=zstd_level, threads=zstd_workers
+            ).compress(data)
         f.write(data)
 
     @classmethod

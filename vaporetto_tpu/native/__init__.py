@@ -145,6 +145,33 @@ def _load() -> Optional[ctypes.CDLL]:
         _I64P, ctypes.c_int64, _I64P,
         _I32P, _I32P, _I32P, ctypes.c_int32,
     ]
+    lib.vt_tag_new.restype = ctypes.c_void_p
+    lib.vt_tag_new.argtypes = [
+        ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
+        _I64P, _I32P, _I64P, _I32P,
+    ]
+    lib.vt_tag_free.restype = None
+    lib.vt_tag_free.argtypes = [ctypes.c_void_p]
+    lib.vt_tag_set_matcher.restype = ctypes.c_int
+    lib.vt_tag_set_matcher.argtypes = [
+        ctypes.c_void_p, ctypes.c_int32, ctypes.c_int32,
+        _I64P, _I32P, _I64P, _I32P, ctypes.c_int64,
+        _I32P, ctypes.c_int64,
+    ]
+    lib.vt_tag_set_tokens.restype = ctypes.c_int
+    lib.vt_tag_set_tokens.argtypes = [ctypes.c_void_p, _I32P, _I64P]
+    lib.vt_tag_set_assign.restype = ctypes.c_int
+    lib.vt_tag_set_assign.argtypes = [
+        ctypes.c_void_p, _I64P, _I32P, _I32P, _I32P,
+    ]
+    lib.vt_tag_predict_batch.restype = ctypes.c_int64
+    lib.vt_tag_predict_batch.argtypes = [
+        ctypes.c_void_p, _I32P, ctypes.POINTER(ctypes.c_uint8),
+        _I64P, ctypes.c_int64, _I32P, _I32P,
+        _I32P, _I32P, _I32P, _I32P, _I32P,
+        _I64P, _I32P, _I64P,
+        ctypes.c_int32, ctypes.c_int32,
+    ]
     lib.vt_compile_matcher_tags.restype = ctypes.c_int
     lib.vt_compile_matcher_tags.argtypes = [
         I32P, I64P, ctypes.c_int64,  # patterns
@@ -407,6 +434,231 @@ class NativeHostPredictor:
     def __del__(self):
         try:
             self._lib.vt_host_free(self._h)
+        except Exception:
+            pass
+
+
+class NativeTagScorer:
+    """ctypes wrapper for the C++ batched tag scorer (native/tag_scorer.cc).
+
+    Scores and argmaxes every recognized token of a batch in one call over
+    flat packed tables — the fast path for ``--predict-tags`` (reference
+    predictor.rs:546-637 semantics; the Python fallback lives in
+    predictor._tag_token).
+    """
+
+    def __init__(self, compiled):
+        lib = _load()
+        if lib is None or not hasattr(lib, "vt_tag_new"):
+            raise RuntimeError("native library unavailable")
+        self._lib = lib
+        meta = compiled.tag_meta
+        n_tokens = len(meta.bias)
+        self.n_tags = int(compiled.n_tags)
+        bias_off = np.zeros(n_tokens + 1, dtype=np.int64)
+        for i, b in enumerate(meta.bias):
+            bias_off[i + 1] = bias_off[i] + len(b)
+        bias_flat = np.fromiter(
+            itertools.chain.from_iterable(meta.bias),
+            dtype=np.int32,
+            count=int(bias_off[-1]),
+        )
+        cand_off = np.zeros(n_tokens + 1, dtype=np.int64)
+        for i, slots in enumerate(meta.tags):
+            cand_off[i + 1] = cand_off[i] + len(slots)
+        cand_cnt = np.fromiter(
+            (len(c) for slots in meta.tags for c in slots),
+            dtype=np.int32,
+            count=int(cand_off[-1]),
+        )
+        self.max_cap = 8
+        for i in range(n_tokens):
+            bl = int(bias_off[i + 1] - bias_off[i])
+            if bl > self.max_cap:
+                self.max_cap = bl
+        if bias_flat.size == 0:
+            bias_flat = np.zeros(1, dtype=np.int32)
+        if cand_cnt.size == 0:
+            cand_cnt = np.zeros(1, dtype=np.int32)
+        I32P = ctypes.POINTER(ctypes.c_int32)
+        I64P = ctypes.POINTER(ctypes.c_int64)
+        self._h = lib.vt_tag_new(
+            n_tokens, self.n_tags, self.max_cap,
+            bias_off.ctypes.data_as(I64P),
+            bias_flat.ctypes.data_as(I32P),
+            cand_off.ctypes.data_as(I64P),
+            cand_cnt.ctypes.data_as(I32P),
+        )
+        tokens = sorted(meta.token_ids, key=meta.token_ids.get)
+        tok_offs = np.zeros(n_tokens + 1, dtype=np.int64)
+        for i, t in enumerate(tokens):
+            tok_offs[i + 1] = tok_offs[i] + len(t)
+        tok_cps = np.fromiter(
+            (ord(ch) for t in tokens for ch in t),
+            dtype=np.int32,
+            count=int(tok_offs[-1]),
+        )
+        if tok_cps.size == 0:
+            tok_cps = np.zeros(1, dtype=np.int32)
+        lib.vt_tag_set_tokens(
+            self._h,
+            tok_cps.ctypes.data_as(I32P),
+            tok_offs.ctypes.data_as(I64P),
+        )
+        # assignment plan: per token_id the tag slots to fill, each
+        # resolving to an index into a shared candidate-string pool (pool
+        # index 0 = None for empty-candidate slots)
+        pool: list = [None]
+        ent_start = np.zeros(n_tokens + 1, dtype=np.int64)
+        ent_slot: list = []
+        ent_base: list = []
+        ent_ccol: list = []
+        for tid, slots_ in enumerate(meta.tags):
+            for slot, cands in enumerate(slots_):
+                if slot >= self.n_tags:
+                    break
+                ent_slot.append(slot)
+                if len(cands) >= 2:
+                    ent_base.append(len(pool))
+                    ent_ccol.append(slot)
+                    pool.extend(cands)
+                elif cands:
+                    ent_base.append(len(pool))
+                    ent_ccol.append(-1)
+                    pool.append(cands[0])
+                else:
+                    ent_base.append(0)
+                    ent_ccol.append(-1)
+            ent_start[tid + 1] = len(ent_slot)
+        self.pool = np.array(pool, dtype=object)
+        ent_slot_a = np.asarray(ent_slot or [0], dtype=np.int32)
+        ent_base_a = np.asarray(ent_base or [0], dtype=np.int32)
+        ent_ccol_a = np.asarray(ent_ccol or [0], dtype=np.int32)
+        lib.vt_tag_set_assign(
+            self._h,
+            ent_start.ctypes.data_as(I64P),
+            ent_slot_a.ctypes.data_as(I32P),
+            ent_base_a.ctypes.data_as(I32P),
+            ent_ccol_a.ctypes.data_as(I32P),
+        )
+        self.has_char = False
+        self.has_type = False
+        for which, m in ((0, compiled.char_matcher),
+                         (1, compiled.type_matcher)):
+            if m is None or m.tag_weight is None or n_tokens == 0:
+                continue
+            n_rel = max((len(by_rel) for by_rel in m.tag_weight), default=0)
+            if n_rel == 0:
+                continue
+            grp_first = np.zeros(n_tokens * n_rel + 1, dtype=np.int64)
+            states: list = []
+            w_off: list = []
+            w_len: list = []
+            w_flat: list = []
+            for tid in range(n_tokens):
+                by_rel = m.tag_weight[tid]
+                for rel in range(n_rel):
+                    table = by_rel[rel] if rel < len(by_rel) else {}
+                    for st in sorted(table):
+                        w = table[st]
+                        states.append(st)
+                        w_off.append(len(w_flat))
+                        w_len.append(len(w))
+                        w_flat.extend(w)
+                    grp_first[tid * n_rel + rel + 1] = len(states)
+            states_a = np.asarray(states or [0], dtype=np.int32)
+            w_off_a = np.asarray(w_off or [0], dtype=np.int64)
+            w_len_a = np.asarray(w_len or [0], dtype=np.int32)
+            w_flat_a = np.asarray(w_flat or [0], dtype=np.int32)
+            rc = lib.vt_tag_set_matcher(
+                self._h, which, n_rel,
+                grp_first.ctypes.data_as(I64P),
+                states_a.ctypes.data_as(I32P),
+                w_off_a.ctypes.data_as(I64P),
+                w_len_a.ctypes.data_as(I32P),
+                len(states),
+                w_flat_a.ctypes.data_as(I32P),
+                len(w_flat),
+            )
+            if rc != 0:
+                raise RuntimeError("tag scorer setup failed")
+            if which == 0:
+                self.has_char = True
+            else:
+                self.has_type = True
+
+    def predict_batch(self, cps_flat, bnd_flat, sent_off, char_states,
+                      type_states, want_scores: bool = False,
+                      n_threads: int = 0):
+        """Run the full tag pass natively over a batch.
+
+        ``cps_flat``/``bnd_flat``/``char_states``/``type_states``:
+        flattened per-sentence streams delimited by ``sent_off`` (boundary
+        labels occupy the first n-1 slots of each sentence's range; state
+        streams may be None when the side is absent).
+
+        Returns (tids, pos, sent, choices, scores-or-None, gpos, pool_idx),
+        one row per recognized token. choices[t, s] = argmax candidate
+        index for multi-candidate slots, -1 for single-candidate ones.
+        (gpos, pool_idx) resolve the whole batch's tag assignment in flat
+        form: ``all_tags[gpos] = self.pool[pool_idx]`` where all_tags is
+        the batch-concatenated ``total_chars * n_tags`` tag array.
+        """
+        I32P = ctypes.POINTER(ctypes.c_int32)
+        I64P = ctypes.POINTER(ctypes.c_int64)
+        U8P = ctypes.POINTER(ctypes.c_uint8)
+        cps_flat = np.ascontiguousarray(cps_flat, dtype=np.int32)
+        bnd_flat = np.ascontiguousarray(bnd_flat, dtype=np.uint8)
+        sent_off = np.ascontiguousarray(sent_off, dtype=np.int64)
+        n_sents = len(sent_off) - 1
+        cap = max(int(sent_off[-1]), 1)  # at most one token per char
+        tids = np.empty(cap, dtype=np.int32)
+        pos = np.empty(cap, dtype=np.int32)
+        sent = np.empty(cap, dtype=np.int32)
+        choices = np.empty((cap, self.n_tags), dtype=np.int32)
+        gpos = np.empty(cap * self.n_tags, dtype=np.int64)
+        pool_idx = np.empty(cap * self.n_tags, dtype=np.int32)
+        n_entries = ctypes.c_int64(0)
+        scores = (
+            np.empty((cap, self.max_cap), dtype=np.int32)
+            if want_scores
+            else np.empty((1, 1), dtype=np.int32)
+        )
+        cs = None
+        if char_states is not None and self.has_char:
+            cs = np.ascontiguousarray(char_states, dtype=np.int32)
+        ts = None
+        if type_states is not None and self.has_type:
+            ts = np.ascontiguousarray(type_states, dtype=np.int32)
+        n_tok = self._lib.vt_tag_predict_batch(
+            self._h,
+            cps_flat.ctypes.data_as(I32P),
+            bnd_flat.ctypes.data_as(U8P),
+            sent_off.ctypes.data_as(I64P),
+            n_sents,
+            cs.ctypes.data_as(I32P) if cs is not None else None,
+            ts.ctypes.data_as(I32P) if ts is not None else None,
+            tids.ctypes.data_as(I32P),
+            pos.ctypes.data_as(I32P),
+            sent.ctypes.data_as(I32P),
+            choices.ctypes.data_as(I32P),
+            scores.ctypes.data_as(I32P),
+            gpos.ctypes.data_as(I64P),
+            pool_idx.ctypes.data_as(I32P),
+            ctypes.byref(n_entries),
+            1 if want_scores else 0,
+            n_threads,
+        )
+        ne = n_entries.value
+        return (
+            tids[:n_tok], pos[:n_tok], sent[:n_tok], choices[:n_tok],
+            scores[:n_tok] if want_scores else None,
+            gpos[:ne], pool_idx[:ne],
+        )
+
+    def __del__(self):
+        try:
+            self._lib.vt_tag_free(self._h)
         except Exception:
             pass
 

@@ -15,6 +15,10 @@ import jax.numpy as jnp
 
 __all__ = ["match_longest", "hash_project"]
 
+#: unroll the windowed trie walk up to this many steps (full fusion for
+#: realistic n-gram/dict lengths); longer walks run under lax.scan
+MATCH_UNROLL_MAX = 63
+
 
 def hash_project(
     cps: jax.Array,  # (B, L) int32 codepoints (0 = padding)
@@ -58,11 +62,8 @@ def match_longest(
     deepest = jnp.zeros((B, L), dtype=jnp.int32)
     n_slots = base.shape[0]
     sym_ok = syms > 0
-    for k in range(1, max_len + 1):
-        if k == 1:
-            prev = node  # empty window ends everywhere, incl. position 0
-        else:
-            prev = jnp.pad(node[:, :-1], ((0, 0), (1, 0)), constant_values=-1)
+
+    def step(node, deepest, prev):
         alive = prev >= 0
         safe_prev = jnp.where(alive, prev, 0)
         cand = base[safe_prev] + syms
@@ -72,4 +73,25 @@ def match_longest(
         ok = alive & sym_ok & (check[cand] == safe_prev)
         node = jnp.where(ok, cand, -1)
         deepest = jnp.where(ok, cand, deepest)
+        return node, deepest
+
+    # k = 1: the empty window ends everywhere, incl. position 0
+    node, deepest = step(node, deepest, node)
+    remaining = max_len - 1
+    if remaining > 0 and remaining <= MATCH_UNROLL_MAX:
+        for _ in range(remaining):
+            prev = jnp.pad(node[:, :-1], ((0, 0), (1, 0)), constant_values=-1)
+            node, deepest = step(node, deepest, prev)
+    elif remaining > 0:
+        # very long patterns (dictionary words up to 32 767 chars,
+        # char_scorer/boundary_scorer.rs:67-74): run the window walk under
+        # lax.scan so the trace stays O(1) in max_len
+        def body(carry, _):
+            node, deepest = carry
+            prev = jnp.pad(node[:, :-1], ((0, 0), (1, 0)), constant_values=-1)
+            return step(node, deepest, prev), None
+
+        (node, deepest), _ = jax.lax.scan(
+            body, (node, deepest), None, length=remaining
+        )
     return inherit[deepest]  # inherit[root] == -1

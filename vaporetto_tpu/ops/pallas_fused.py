@@ -67,18 +67,20 @@ def _match_longest_val(syms, base, check, inherit, max_len, n_slots):
     return inherit[deepest]
 
 
-def _shift_add_val(match, rf, rc, w8, off, distinct_offsets, scores, pad_left,
+def _shift_add_val(match, rf, rc, w8, off, chunk_plan, scores, pad_left,
                    max_chunks, L):
     valid_m = match >= 0
     safe_m = jnp.where(valid_m, match, 0)
     first = rf[safe_m]
     cnt = rc[safe_m]
     for c in range(max_chunks):
+        if not chunk_plan[c]:
+            continue
         valid = valid_m & (c < cnt)
         row = jnp.where(valid, first + c, 0)
         w = jnp.where(valid[..., None], w8[row], 0)
         off_row = off[row]
-        for d in distinct_offsets:
+        for d in chunk_plan[c]:
             wd = jnp.where((off_row == d)[..., None], w, 0)
             for j in range(8):
                 start = pad_left + d + j
@@ -133,11 +135,17 @@ def build_fused_fn(compiled, B: int, L: int, *, interpret: bool = False,
     has_char = c.char_matcher is not None
     has_tcache = c.type_cache_table is not None
     has_ttrie = c.type_matcher is not None
+    from .score import plan_chunk_offsets
+
     char_off = (
-        [int(d) for d in np.unique(c.char_matcher.off)] if has_char else []
+        plan_chunk_offsets(c.char_matcher.off, c.char_matcher.rows_first,
+                           c.char_matcher.rows_cnt, c.char_matcher.max_chunks)
+        if has_char else []
     )
     type_off = (
-        [int(d) for d in np.unique(c.type_matcher.off)] if has_ttrie else []
+        plan_chunk_offsets(c.type_matcher.off, c.type_matcher.rows_first,
+                           c.type_matcher.rows_cnt, c.type_matcher.max_chunks)
+        if has_ttrie else []
     )
 
     tables = []

@@ -23,6 +23,35 @@ import jax.numpy as jnp
 
 __all__ = ["scatter_add_scores", "shift_add_scores", "type_cache_scores"]
 
+#: above this many unrolled slice-add terms, the scatter formulation wins:
+#: its trace is max_chunks scatter ops instead of a long slice-add unroll
+#: (XLA compile time is roughly linear in trace size — ~35 eqns/s on the
+#: CPU backend — while each scatter compiles in well under a second). Long
+#: dictionary words (the reference allows up to 32 767 chars,
+#: char_scorer/boundary_scorer.rs:67-74) hit this: a single 1000-char word
+#: contributes 126 chunk terms on its own.
+SHIFT_ADD_MAX_TERMS = 512
+
+
+def plan_chunk_offsets(
+    off_np: np.ndarray,
+    rows_first_np: np.ndarray,
+    rows_cnt_np: np.ndarray,
+    max_chunks: int,
+):
+    """Per chunk index c, the distinct offsets occurring among rows that are
+    the c-th chunk of some pattern. Chunk c of a pattern with base offset b
+    always sits at ``b + 8c``, so ``sum_c len(plan[c])`` is bounded by the
+    total chunk count over distinct base offsets — linear in the model's
+    weight footprint, unlike the naive chunks x all-offsets cross product.
+    """
+    plan = []
+    for c in range(max_chunks):
+        sel = rows_first_np[rows_cnt_np > c] + c
+        plan.append(sorted(int(d) for d in np.unique(off_np[sel]))
+                    if len(sel) else [])
+    return plan
+
 
 def shift_add_scores(
     match: jax.Array,  # (B, L) int32 pattern id or -1
@@ -30,7 +59,7 @@ def shift_add_scores(
     rows_cnt: jax.Array,  # (n_ids,) int32 number of 8-wide rows
     w8: jax.Array,  # (n_rows, 8) int32 weight chunks
     off: jax.Array,  # (n_rows,) int32 chunk offsets (device copy)
-    off_np: np.ndarray,  # same offsets, host copy (static for tracing)
+    matcher_np,  # host CompiledMatcher (static row metadata for tracing)
     scores: jax.Array,  # (B, S) int32 padded score buffer (bias-initialized)
     pad_left: int,
     max_chunks: int,
@@ -43,21 +72,37 @@ def shift_add_scores(
     position ``t`` lands at ``t + pad_left + d + j`` — a *static* slice of
     the score buffer — so the whole scoring pass becomes masked vector adds
     that XLA fuses into a few elementwise kernels. Numerically identical to
-    :func:`scatter_add_scores`.
+    :func:`scatter_add_scores`, which very-long-word models (large unroll)
+    automatically fall back to.
     """
     B, L = match.shape
+    plan = plan_chunk_offsets(
+        matcher_np.off, matcher_np.rows_first, matcher_np.rows_cnt,
+        max_chunks,
+    )
+    n_terms = 8 * sum(len(p) for p in plan)
+    if n_terms > SHIFT_ADD_MAX_TERMS:
+        return scatter_add_scores(
+            match, rows_first, rows_cnt, w8, off, scores, pad_left,
+            max_chunks,
+        )
     valid_m = match >= 0
     safe_m = jnp.where(valid_m, match, 0)
     first = rows_first[safe_m]
     cnt = rows_cnt[safe_m]
-    distinct = [int(d) for d in np.unique(off_np)] if len(off_np) else []
     for c in range(max_chunks):
+        distinct = plan[c]
+        if not distinct:
+            continue
         valid = valid_m & (c < cnt)
         row = jnp.where(valid, first + c, 0)
         w = jnp.where(valid[..., None], w8[row], 0)  # (B, L, 8)
         off_row = off[row]  # (B, L)
         for d in distinct:
-            wd = jnp.where((off_row == d)[..., None], w, 0)
+            if len(distinct) == 1:
+                wd = w  # all rows at this chunk share the offset
+            else:
+                wd = jnp.where((off_row == d)[..., None], w, 0)
             for j in range(8):
                 start = pad_left + d + j
                 scores = scores.at[:, start : start + L].add(wd[:, :, j])
@@ -79,9 +124,13 @@ def scatter_add_scores(
     ``t + pad_left + off`` derives from the reference's
     ``end + score_padding - 1 + offset`` with ``end = t+1``
     (char_scorer/boundary_scorer.rs:108-111).
+
+    The chunk loop runs under ``lax.scan`` so the trace holds exactly ONE
+    scatter op regardless of ``max_chunks`` — a 1000-char dictionary word
+    has 126 chunks, and an unrolled chain of 126 scatters takes XLA many
+    minutes to compile.
     """
     B, L = match.shape
-    S = scores.shape[1]
     valid_m = match >= 0
     safe_m = jnp.where(valid_m, match, 0)
     first = rows_first[safe_m]
@@ -89,13 +138,18 @@ def scatter_add_scores(
     t_idx = jax.lax.broadcasted_iota(jnp.int32, (B, L), 1)
     iota8 = jnp.arange(8, dtype=jnp.int32)
     b_idx = jax.lax.broadcasted_iota(jnp.int32, (B, L, 8), 0)
-    for c in range(max_chunks):
+
+    def body(acc, c):
         valid = valid_m & (c < cnt)
         row = jnp.where(valid, first + c, 0)
         w = jnp.where(valid[..., None], w8[row], 0)
         pos = jnp.where(valid, t_idx + pad_left + off[row], 0)  # (B, L)
         idx = pos[..., None] + iota8  # (B, L, 8); in-bounds by construction
-        scores = scores.at[b_idx, idx].add(w)
+        return acc.at[b_idx, idx].add(w), None
+
+    scores, _ = jax.lax.scan(
+        body, scores, jnp.arange(max_chunks, dtype=jnp.int32)
+    )
     return scores
 
 

@@ -83,9 +83,9 @@ def predict_long(predictor, sentence, chunk_size: int = 4096) -> None:
     pad = compiled.pad_left
     full_scores = np.full(pad + max(n - 1, 0) + 1, compiled.bias, dtype=np.int32)
     if char_match is not None:
-        full_char = np.full(n, -1, dtype=np.int64)
+        full_char = np.full(n, -1, dtype=np.int32)
     if type_match is not None:
-        full_type = np.full(n, -1, dtype=np.int64)
+        full_type = np.full(n, -1, dtype=np.int32)
     for i, (local_off, g_start, n_central) in enumerate(spans):
         # central gaps of this chunk: global gaps g_start .. g_start+n_central-1
         # (gap g sits between chars g and g+1); the last chunk also owns the

@@ -160,9 +160,7 @@ class Predictor:
         tables = dict(self._tables())
         tables["ctype_bmp"] = jnp.asarray(_CHAR_TYPE_TABLE_SMALL)
         c = self.compiled
-        char_off_np = c.char_matcher.off if c.char_matcher is not None else None
-        type_off_np = c.type_matcher.off if c.type_matcher is not None else None
-        traced = _make_traced_fn(c, char_off_np, type_off_np)
+        traced = _make_traced_fn(c)
         pad_left = c.pad_left
         # plain Python ints: eager jnp scalars would be closed over as
         # device-buffer constants, which the axon tunnel re-ships on every
@@ -214,9 +212,7 @@ class Predictor:
         """
         tables = self._tables()
         c = self.compiled
-        char_off_np = c.char_matcher.off if c.char_matcher is not None else None
-        type_off_np = c.type_matcher.off if c.type_matcher is not None else None
-        traced = _make_traced_fn(c, char_off_np, type_off_np)
+        traced = _make_traced_fn(c)
 
         def fn(cps, cts, lengths):
             return traced(cps, cts, lengths, tables)
@@ -231,10 +227,7 @@ class Predictor:
         used by the sharded data-parallel path which jits with explicit
         shardings.
         """
-        c = self.compiled
-        char_off_np = c.char_matcher.off if c.char_matcher is not None else None
-        type_off_np = c.type_matcher.off if c.type_matcher is not None else None
-        return _make_traced_fn(c, char_off_np, type_off_np), self._tables()
+        return _make_traced_fn(self.compiled), self._tables()
 
     # ------------------------------------------------------------------
     # prediction
@@ -285,11 +278,11 @@ class Predictor:
             if self.compiled.tag_meta is not None:
                 if host.has_char:
                     s.char_pma_states = char_flat[clo : clo + n].astype(
-                        np.int64
+                        np.int32
                     )
                 if host.has_type:
                     s.type_pma_states = type_flat[clo : clo + n].astype(
-                        np.int64
+                        np.int32
                     )
             s.set_predictor(self)
         return True
@@ -326,9 +319,9 @@ class Predictor:
             exposed = scores[i, pad : pad + n - 1]
             s.boundaries = (exposed > 0).astype(np.uint8)
             if char_match is not None:
-                s.char_pma_states = char_match[i, :n].astype(np.int64)
+                s.char_pma_states = char_match[i, :n].astype(np.int32)
             if type_match is not None:
-                s.type_pma_states = type_match[i, :n].astype(np.int64)
+                s.type_pma_states = type_match[i, :n].astype(np.int32)
             s.set_predictor(self)
         from .utils.observe import debug_checks_enabled
 
@@ -346,7 +339,36 @@ class Predictor:
     def store_tag_scores(self, flag: bool) -> None:
         self._store_tag_scores = flag
 
+    #: lazily-built native batched tag scorer (False = not built yet)
+    _tag_scorer_obj = False
+
+    def _tag_scorer(self):
+        if self._tag_scorer_obj is False:
+            import os
+
+            if os.environ.get("VAPORETTO_TPU_NO_NATIVE_TAGS") == "1":
+                self._tag_scorer_obj = None
+                return None
+            try:
+                from .native import NativeTagScorer
+
+                self._tag_scorer_obj = NativeTagScorer(self.compiled)
+            except Exception:
+                self._tag_scorer_obj = None
+        return self._tag_scorer_obj
+
     def predict_tags(self, sentence: Sentence) -> None:
+        self.predict_tags_batch([sentence])
+
+    def predict_tags_batch(self, sentences: Sequence[Sentence]) -> None:
+        """Tag every recognized token of the batch (predictor.rs:546-637).
+
+        The whole pass — token-span enumeration, surface -> token_id
+        lookup, scoring over the cached per-position match states, and
+        per-slot argmax — runs in one native call (native/tag_scorer.cc);
+        Python only assigns the chosen candidate strings. Pure-Python
+        fallback: ``_token_spans`` + ``_tag_token_by_id``.
+        """
         c = self.compiled
         if c.tag_meta is None:
             raise RuntimeError(
@@ -354,35 +376,76 @@ class Predictor:
             )
         if c.n_tags == 0:
             return
-        n = len(sentence)
-        sentence.n_tags = c.n_tags
-        sentence.tags = [None] * (n * c.n_tags)
-        sentence.tag_scores = [None] * n if self._store_tag_scores else []
-        bounds = sentence.boundaries
-        # walk gaps; emit token at each WordBoundary and at sentence end
-        range_start: Optional[int] = 0
-        for i, b in enumerate(np.asarray(bounds)):
-            b = int(b)
-            if b == 2:  # Unknown
-                range_start = None
-            elif b == 1:  # WordBoundary
-                if range_start is not None:
-                    self._tag_token(sentence, range_start, i + 1)
-                range_start = i + 1
-        if range_start is not None:
-            self._tag_token(sentence, range_start, n)
+        meta = c.tag_meta
+        for s in sentences:
+            s.n_tags = c.n_tags
+            s.tag_scores = [None] * len(s) if self._store_tag_scores else []
+        native = self._tag_scorer()
+        if native is None:
+            for s in sentences:
+                s.tags = [None] * (len(s) * c.n_tags)
+                for start, end in _token_spans(s.boundaries, len(s)):
+                    token_id = meta.token_ids.get(
+                        s.text_substring(start, end)
+                    )
+                    if token_id is not None:
+                        self._tag_token_by_id(s, token_id, end - 1)
+            return
+        sent_off = np.zeros(len(sentences) + 1, dtype=np.int64)
+        np.cumsum([len(s) for s in sentences], out=sent_off[1:])
+        total = int(sent_off[-1])
+        empty32 = np.zeros(0, dtype=np.int32)
+        cps_flat = np.concatenate(
+            [s.codepoints for s in sentences] or [empty32]
+        )
+        # gap labels ride at sent_off[i] - i (n-1 labels per n-char line)
+        bnd_flat = np.concatenate(
+            [s.boundaries for s in sentences]
+            or [np.zeros(0, dtype=np.uint8)]
+        )
 
-    def _tag_token(self, sentence: Sentence, start: int, end: int) -> None:
+        def flat_states(attr):
+            return np.concatenate(
+                [
+                    getattr(s, attr)
+                    if getattr(s, attr) is not None
+                    else np.full(len(s), -1, dtype=np.int64)
+                    for s in sentences
+                ]
+                or [empty32]
+            )
+
+        char_states = flat_states("char_pma_states") if native.has_char else None
+        type_states = flat_states("type_pma_states") if native.has_type else None
+        tids, pos, sent, choices, raw, gpos, pool_idx = native.predict_batch(
+            cps_flat, bnd_flat, sent_off, char_states, type_states,
+            want_scores=self._store_tag_scores,
+        )
+        n_tags = c.n_tags
+        # one vectorized scatter resolves every tag of the batch, then the
+        # flat object array splits back into per-sentence lists
+        all_tags = np.full(total * n_tags, None, dtype=object)
+        if len(gpos):
+            all_tags[gpos] = native.pool[pool_idx]
+        off = sent_off * n_tags
+        for si, s in enumerate(sentences):
+            s.tags = all_tags[off[si] : off[si + 1]].tolist()
+        if self._store_tag_scores:
+            for t, (token_id, p, si) in enumerate(
+                zip(tids.tolist(), pos.tolist(), sent.tolist())
+            ):
+                tags = meta.tags[token_id]
+                cap = max(8, len(meta.bias[token_id]))
+                sentences[si].tag_scores[p] = (tags, raw[t, :cap].tolist())
+
+    def _tag_token_by_id(
+        self, sentence: Sentence, token_id: int, pos: int
+    ) -> None:
         c = self.compiled
         meta = c.tag_meta
-        token = sentence.text_substring(start, end)
-        token_id = meta.token_ids.get(token)
-        if token_id is None:
-            return
         bias = meta.bias[token_id]
         scores = np.zeros(max(8, len(bias)), dtype=np.int32)
         scores[: len(bias)] = bias
-        pos = end - 1
         if c.char_matcher is not None and c.char_matcher.tag_weight is not None:
             _add_tag_scores(
                 c.char_matcher.tag_weight[token_id],
@@ -417,6 +480,42 @@ class Predictor:
 
         compiled, predict_tags = deserialize_compiled(data)
         return cls(None, predict_tags, compiled=compiled)
+
+
+def _token_spans(boundaries, n: int):
+    """Token spans (start, end) delimited by WordBoundary/Unknown gaps.
+
+    Matches the reference's gap walk (predictor.rs:546-571): spans between
+    consecutive break gaps (boundary != NotWordBoundary), emitted only when
+    neither delimiting break is Unknown — an Unknown gap suppresses both
+    the token ending at it and the one starting after it.
+    """
+    if n < 256:  # short sentences: a plain walk beats numpy setup costs
+        spans = []
+        start = 0
+        prev_unk = False
+        for i, v in enumerate(boundaries):
+            if v:
+                if not prev_unk and v == 1:
+                    spans.append((start, i + 1))
+                prev_unk = v == 2
+                start = i + 1
+        if not prev_unk:
+            spans.append((start, n))
+        return spans
+    b = np.asarray(boundaries)
+    if b.size == 0:
+        return [(0, n)]
+    br = np.flatnonzero(b != 0)
+    if br.size == 0:
+        return [(0, n)]
+    starts = np.concatenate(([0], br + 1))
+    ends = np.concatenate((br + 1, [n]))
+    is_unk = b[br] == 2
+    left_ok = np.concatenate(([True], ~is_unk))
+    right_ok = np.concatenate((~is_unk, [True]))
+    keep = left_ok & right_ok
+    return list(zip(starts[keep].tolist(), ends[keep].tolist()))
 
 
 def _add_tag_scores(
@@ -475,10 +574,7 @@ def _build_predict_fn(compiled: CompiledModel, tables):
     """
     import jax
 
-    c = compiled
-    char_off_np = c.char_matcher.off if c.char_matcher is not None else None
-    type_off_np = c.type_matcher.off if c.type_matcher is not None else None
-    traced = jax.jit(_make_traced_fn(c, char_off_np, type_off_np))
+    traced = jax.jit(_make_traced_fn(compiled))
 
     def fn(cps, cts, lengths):
         return traced(cps, cts, lengths, tables)
@@ -486,7 +582,7 @@ def _build_predict_fn(compiled: CompiledModel, tables):
     return fn
 
 
-def _make_traced_fn(c, char_off_np, type_off_np):
+def _make_traced_fn(c):
     import jax
     import jax.numpy as jnp
 
@@ -527,8 +623,8 @@ def _make_traced_fn(c, char_off_np, type_off_np):
                 syms, base, check, inherit, c.char_matcher.max_len
             )
             scores = shift_add_scores(
-                char_match, rf, rc, w8, off, char_off_np, scores, pad_left,
-                c.char_matcher.max_chunks,
+                char_match, rf, rc, w8, off, c.char_matcher, scores,
+                pad_left, c.char_matcher.max_chunks,
             )
         if "type_pos" in tables:
             scores = type_pos_scores(
@@ -548,8 +644,8 @@ def _make_traced_fn(c, char_off_np, type_off_np):
                 syms, base, check, inherit, c.type_matcher.max_len
             )
             scores = shift_add_scores(
-                type_match, rf, rc, w8, off, type_off_np, scores, pad_left,
-                c.type_matcher.max_chunks,
+                type_match, rf, rc, w8, off, c.type_matcher, scores,
+                pad_left, c.type_matcher.max_chunks,
             )
         if not want_states:
             return scores, None, None

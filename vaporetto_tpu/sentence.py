@@ -126,7 +126,7 @@ class Sentence:
     * ``boundaries``: uint8 numpy array over the ``len-1`` gaps
     * ``boundary_scores``: int32 numpy array incl. ``score_padding`` on both
       sides (scores are exposed un-padded via :meth:`boundary_scores`)
-    * ``char_pma_states`` / ``type_pma_states``: int64 match-id-per-position
+    * ``char_pma_states`` / ``type_pma_states``: int32 match-id-per-position
       arrays cached by the tag-capable scorers (u32::MAX sentinel -> -1 here)
     * ``tags``: flat list of Optional[str], layout ``i*n_tags + j``
     * ``tag_scores``: per-char Optional[(tags, scores)] when the predictor
@@ -164,8 +164,8 @@ class Sentence:
         self.boundaries = np.zeros(0, dtype=np.uint8)
         self.boundary_scores = np.zeros(0, dtype=np.int32)
         self.score_padding = 0
-        self.char_pma_states = np.zeros(0, dtype=np.int64)
-        self.type_pma_states = np.zeros(0, dtype=np.int64)
+        self.char_pma_states = np.zeros(0, dtype=np.int32)
+        self.type_pma_states = np.zeros(0, dtype=np.int32)
         self.tags: List[Optional[str]] = []
         self.tag_scores: List[Optional[tuple]] = []
         self.n_tags = 0
@@ -179,8 +179,8 @@ class Sentence:
     def _clear_annotations(self) -> None:
         self.boundary_scores = np.zeros(0, dtype=np.int32)
         self.score_padding = 0
-        self.char_pma_states = np.zeros(0, dtype=np.int64)
-        self.type_pma_states = np.zeros(0, dtype=np.int64)
+        self.char_pma_states = np.zeros(0, dtype=np.int32)
+        self.type_pma_states = np.zeros(0, dtype=np.int32)
         self._predictor = None
         self.tag_scores = []
         self._char_to_str_pos = None
@@ -304,9 +304,13 @@ class Sentence:
             self._predictor.predict_tags(self)
 
     def text_substring(self, start: int, end: int) -> str:
-        """Substring by char positions (reference sentence.rs:1184-1186)."""
-        pos = self._char_positions()
-        return self.text[pos[start] : pos[end]]
+        """Substring by char positions (reference sentence.rs:1184-1186).
+
+        Python strs index by char, so the char -> str map is the identity
+        (see :meth:`_char_positions`) and this is a plain slice — kept as a
+        method for parity with the reference API.
+        """
+        return self.text[start:end]
 
     def _char_positions(self) -> np.ndarray:
         """char index -> byte... here: str index map (prefix lengths).
