@@ -37,8 +37,10 @@ def make_corpus(rng, n_sentences, with_tags):
     return lines
 
 
-@pytest.mark.parametrize("solver", [0, 5])
+@pytest.mark.parametrize("solver", list(range(8)))
 def test_heldout_f1(solver):
+    """All 8 reference solver enums (trainer.rs:22-80) end to end; see
+    solver.solver_loss_kind for the dual->primal objective mapping."""
     rng = np.random.default_rng(7)
     train = make_corpus(rng, 300, with_tags=False)
     test = make_corpus(rng, 50, with_tags=False)
@@ -86,3 +88,65 @@ def test_heldout_word_f1_with_tags():
         results.append((ref_b, ref_t, sys_b, sys_t))
     m = word_metric(results)
     assert m.f1 > 0.9, f"word F1 with tags {m.f1}"
+
+
+class TestSolverConvergence:
+    """The FISTA solver must reach (near-)optimal objective values. The
+    hinge solver (enum 3) uses Nesterov smoothing — verified here against
+    an independent optimizer (scipy L-BFGS) on the same objective."""
+
+    def _problem(self, seed=5, n=200, d=20, k=6):
+        rng = np.random.default_rng(seed)
+        idx = rng.integers(1, d + 1, size=(n, k)).astype(np.int32)
+        idx[:, -1] = d + 1  # bias feature
+        val = np.ones((n, k), dtype=np.float32)
+        w_true = rng.normal(size=d + 2)
+        margins = np.array([
+            w_true[idx[i]].sum() for i in range(n)
+        ])
+        y = np.where(margins + rng.normal(scale=0.5, size=n) > 0, 1.0, -1.0)
+        return idx, val, y.astype(np.float32), d
+
+    @pytest.mark.parametrize("solver", [0, 1, 2, 3, 7])
+    def test_matches_scipy_objective(self, solver):
+        from scipy.optimize import minimize
+
+        from vaporetto_tpu.train.solver import (
+            HINGE_SMOOTHING_MU,
+            solver_loss_kind,
+            train_binary,
+            LOGISTIC,
+            L2_HINGE,
+        )
+
+        idx, val, y, d = self._problem()
+        cost = 1.0
+        w, b = train_binary(idx, val, y, d, cost, 0.0001, solver,
+                            max_iter=4000)
+        w_full = np.concatenate([w, [b]])
+        kind = solver_loss_kind(solver)
+        mu = HINGE_SMOOTHING_MU
+
+        def np_loss(m):
+            if kind == LOGISTIC:
+                return np.logaddexp(0.0, -m)
+            if kind == L2_HINGE:
+                return np.square(np.maximum(0.0, 1.0 - m))
+            z = 1.0 - m
+            return np.where(
+                z <= 0, 0.0,
+                np.where(z >= mu, z - 0.5 * mu, z * z / (2 * mu)),
+            )
+
+        def objective(wf):
+            margins = np.array([
+                wf[idx[i] - 1].sum() for i in range(len(y))
+            ])
+            return 0.5 * wf @ wf + cost * np_loss(y * margins).sum()
+
+        ours = objective(w_full)
+        res = minimize(objective, np.zeros(d + 1), method="L-BFGS-B",
+                       options={"maxiter": 2000})
+        assert ours <= res.fun * 1.01 + 1e-3, (
+            f"solver {solver}: ours {ours} vs scipy {res.fun}"
+        )

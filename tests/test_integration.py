@@ -113,6 +113,31 @@ class TestCLI:
         cands = first.split("\t")[1]
         assert "名詞:" in cands and "," in cands
 
+    def test_predict_cli_lean_matches_general(self):
+        """The lean serving fast path (native tensorize -> uint16/int8
+        device kernel -> native detokenize) must be byte-identical to the
+        general Sentence path for the supported flag sets."""
+        corpus = (
+            "まぁ社長は火星猫だ\nまぁ良いだろう\n\n"
+            "a b/c\\d\nABC123オレンジ\nア\n"
+        )
+        env = {"PATH": "/usr/bin:/bin", "JAX_PLATFORMS": "cpu",
+               "PYTHONPATH": "/root/repo", "HOME": "/root"}
+        for extra in ([], ["--wsconst", "K", "--wsconst", "D"],
+                      ["--no-norm"]):
+            runs = {}
+            for mode, flags in (("lean", []), ("general", ["--no-lean"])):
+                out = subprocess.run(
+                    [sys.executable, "-m", "vaporetto_tpu.cli.predict",
+                     "--model", MODEL_BIN, "--batch-size", "4",
+                     *extra, *flags],
+                    input=corpus, capture_output=True, text=True,
+                    timeout=560, env=env,
+                )
+                assert out.returncode == 0, out.stderr
+                runs[mode] = out.stdout
+            assert runs["lean"] == runs["general"], extra
+
     def test_evaluate_cli(self):
         with open(DOCS_TOK) as f:
             docs = f.read()

@@ -99,3 +99,75 @@ class TestDataPipeline:
                     got[i] = scores[r, pad : pad + n - 1].tolist()
         for i, exp in enumerate(expected):
             assert got[i] == exp
+
+
+class TestShardedServe:
+    """The sharded lean serving kernel: batch on dp, tables replicated."""
+
+    def test_zero_collectives_in_hlo(self, predictor):
+        """Embarrassing data parallelism, verified structurally: the
+        optimized sharded program contains no collective ops at any mesh
+        size — scaling is linear by construction (PERF.md)."""
+        import jax
+        import jax.numpy as jnp
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        from vaporetto_tpu.parallel.mesh import make_mesh
+
+        for n in (2, 8):
+            mesh = make_mesh(n)
+            fn = predictor.serve_boundaries_fn(mesh=mesh)
+            B, L = 16 * n, 32
+            lowered = jax.jit(lambda c, l: fn(c, l)).lower(
+                jax.ShapeDtypeStruct(
+                    (B, L), jnp.uint16,
+                    sharding=NamedSharding(mesh, P("dp", None)),
+                ),
+                jax.ShapeDtypeStruct(
+                    (B,), jnp.int32,
+                    sharding=NamedSharding(mesh, P("dp")),
+                ),
+            )
+            hlo = lowered.compile().as_text()
+            for op in ("all-reduce", "all-gather", "all-to-all",
+                       "collective-permute", "reduce-scatter"):
+                assert op not in hlo, f"{op} at mesh size {n}"
+
+    def test_sharded_serve_matches_unsharded(self, predictor):
+        import jax
+        import numpy as np
+
+        from vaporetto_tpu.parallel.mesh import make_mesh
+
+        mesh = make_mesh(8)
+        fn_sharded = predictor.serve_boundaries_fn(mesh=mesh)
+        fn_plain = predictor.serve_boundaries_fn()
+        rng = np.random.default_rng(2)
+        cps = rng.integers(0x3041, 0x3097, (32, 24)).astype(np.uint16)
+        lengths = rng.integers(1, 25, 32).astype(np.int32)
+        a = np.asarray(fn_sharded(cps, lengths))
+        b = np.asarray(fn_plain(cps, lengths))
+        assert (a == b).all()
+
+    def test_predict_cli_dp_flag(self):
+        """predict --dp N on the virtual mesh, output identical to
+        unsharded."""
+        import subprocess
+        import sys
+
+        env = {"PATH": "/usr/bin:/bin", "JAX_PLATFORMS": "cpu",
+               "PYTHONPATH": "/root/repo", "HOME": "/root",
+               "XLA_FLAGS": "--xla_force_host_platform_device_count=8"}
+        corpus = "まぁ社長は火星猫だ\nまぁ良いだろう\n火星猫だ\n人だ\n"
+        outs = {}
+        for name, flags in (("dp", ["--dp", "4", "--batch-size", "4"]),
+                            ("plain", ["--batch-size", "4"])):
+            out = subprocess.run(
+                [sys.executable, "-m", "vaporetto_tpu.cli.predict",
+                 "--model", "/root/reference/resources/model.bin", *flags],
+                input=corpus, capture_output=True, text=True,
+                timeout=560, env=env,
+            )
+            assert out.returncode == 0, out.stderr
+            outs[name] = out.stdout
+        assert outs["dp"] == outs["plain"]

@@ -398,3 +398,73 @@ class TestTags:
         s = Sentence.default()
         assert s.as_raw_text() == " "
         assert s.n_tags == 0
+
+
+class TestByteCharMaps:
+    """Byte<->char index maps (reference sentence.rs:99-100,164-196,
+    1179-1191 and the map assertions ported from its update_raw/from_raw
+    tests, e.g. sentence.rs:1330-1450). Rust strings index by byte, so the
+    reference maintains both maps; the same API is provided for library
+    users doing byte-offset work."""
+
+    def test_default_sentence(self):
+        # sentence.rs:1332-1333 (single space)
+        s = Sentence.default()
+        assert s.str_to_char_pos_map().tolist() == [0, 1]
+        assert s.char_to_str_pos().tolist() == [0, 1]
+
+    def test_one_multibyte_char(self):
+        # sentence.rs:1372-1373,1385-1386 ("あ" = 3 bytes)
+        s = Sentence.from_raw("あ")
+        assert s.str_to_char_pos_map().tolist() == [0, 0, 0, 1]
+        assert s.char_to_str_pos().tolist() == [0, 3]
+        assert s.str_to_char_pos(3) == 1
+        assert s.str_to_char_pos(0) == 0
+
+    def test_mixed_ascii_japanese(self):
+        # sentence.rs:1393-1433 ("Rustで良いプログラミング体験を！")
+        s = Sentence.from_raw("Rustで良いプログラミング体験を！")
+        assert s.str_to_char_pos_map().tolist() == [
+            0, 1, 2, 3, 4, 0, 0, 5, 0, 0, 6, 0, 0, 7, 0, 0, 8, 0, 0, 9,
+            0, 0, 10, 0, 0, 11, 0, 0, 12, 0, 0, 13, 0, 0, 14, 0, 0, 15,
+            0, 0, 16, 0, 0, 17, 0, 0, 18,
+        ]
+        assert s.char_to_str_pos().tolist() == [
+            0, 1, 2, 3, 4, 7, 10, 13, 16, 19, 22, 25, 28, 31, 34, 37,
+            40, 43, 46,
+        ]
+
+    def test_update_raw_rebuilds_maps(self):
+        # sentence.rs:1368-1386 (update_raw "12345" -> "あ")
+        s = Sentence.from_raw("12345")
+        assert s.char_to_str_pos().tolist() == [0, 1, 2, 3, 4, 5]
+        s.update_raw("あ")
+        assert s.str_to_char_pos_map().tolist() == [0, 0, 0, 1]
+        assert s.char_to_str_pos().tolist() == [0, 3]
+
+    def test_astral_char_four_bytes(self):
+        s = Sentence.from_raw("a\U0001F431b")  # 1 + 4 + 1 bytes
+        assert s.char_to_str_pos().tolist() == [0, 1, 5, 6]
+        m = s.str_to_char_pos_map().tolist()
+        assert m[0] == 0 and m[1] == 1 and m[5] == 2 and m[6] == 3
+        assert m[2] == m[3] == m[4] == 0
+
+    def test_parsed_formats_build_maps(self):
+        # the parsed constructors go through the same map machinery
+        # (reference sentence.rs:1500-1501 etc. assert them per format)
+        s = Sentence.from_tokenized("火星 猫")
+        assert s.char_to_str_pos().tolist() == [0, 3, 6, 9]
+        assert s.str_to_char_pos(6) == 2
+        s2 = Sentence.from_partial_annotation("火-星|猫")
+        assert s2.char_to_str_pos().tolist() == [0, 3, 6, 9]
+
+    def test_byte_substring_consistency(self):
+        # char_to_str_pos offsets slice the UTF-8 encoding exactly like
+        # text_substring slices chars (reference text_substring
+        # sentence.rs:1184-1186 goes through char_to_str_pos)
+        s = Sentence.from_raw("Rustで良い体験")
+        raw = s.as_raw_text().encode("utf-8")
+        c2s = s.char_to_str_pos()
+        for a, b in ((0, 4), (4, 6), (2, 8)):
+            assert raw[c2s[a]:c2s[b]].decode("utf-8") == \
+                s.text_substring(a, b)

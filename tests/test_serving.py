@@ -1,0 +1,143 @@
+"""Lean serving pipeline vs the general Sentence path.
+
+The lean path (serving.LeanServer: native uint16 tensorize with fused
+fullwidth normalization -> device kernel with fused wsconst -> native
+byte-level detokenizer) must produce byte-identical output to the general
+path (normalize -> Sentence.from_raw -> predict -> post filters ->
+re-apply onto the original text -> write_tokenized_text), which pins the
+reference CLI semantics (predict/src/main.rs:126-180).
+"""
+
+import io
+
+import numpy as np
+import pytest
+
+from vaporetto_tpu.models.model import Model
+from vaporetto_tpu.predictor import Predictor
+from vaporetto_tpu.rules import KyteaFullwidthFilter, KyteaWsConstFilter
+from vaporetto_tpu.sentence import CharacterType, Sentence
+
+from test_scorers import create_test_model
+
+
+def general_path(pred, lines, wsconst=(), normalize=True):
+    """The reference CLI's per-line loop, as bytes."""
+    pre = KyteaFullwidthFilter()
+    posts = [KyteaWsConstFilter(CharacterType(t)) for t in wsconst]
+    out = []
+    for line in lines:
+        try:
+            text = pre.filter(line) if normalize else line
+            s = Sentence.from_raw(text)
+        except Exception:
+            out.append("")
+            continue
+        pred.predict(s)
+        for f in posts:
+            f.filter(s)
+        orig = s
+        if normalize:
+            orig = Sentence.from_raw(line)
+            orig.boundaries = s.boundaries
+        out.append(orig.write_tokenized_text())
+    return ("\n".join(out) + "\n").encode("utf-8") if out else b""
+
+
+def lean_path(pred, lines, wsconst=(), normalize=True, batch_lines=4):
+    from vaporetto_tpu.serving import LeanServer
+
+    fb_out = io.BytesIO()
+    sink = io.BytesIO()
+
+    def fallback(raw_lines):
+        data = general_path(
+            pred, [b.decode("utf-8") for b in raw_lines], wsconst, normalize
+        )
+        sink.write(data)
+
+    server = LeanServer(
+        pred,
+        wsconst=wsconst,
+        normalize=normalize,
+        batch_lines=batch_lines,
+        fallback=fallback,
+    )
+    blob = ("\n".join(lines) + "\n").encode("utf-8") if lines else b""
+    server.run(io.BytesIO(blob), sink)
+    return sink.getvalue()
+
+
+@pytest.fixture(scope="module")
+def bundled_pred():
+    from vaporetto_tpu.native import available
+
+    if not available():
+        pytest.skip("native library unavailable")
+    return Predictor(Model.read("/root/reference/resources/model.bin"))
+
+
+CORPUS = [
+    "まぁ社長は火星猫だ",
+    "まぁ良いだろう",
+    "",  # empty line
+    "a b/c\\d",  # escapes: space, slash, backslash
+    "ABC123オレンジ",  # halfwidth roman/digits (normalization)
+    "ア",  # single char, no gaps
+    "火星猫だ火星猫だ火星猫だ",
+]
+
+
+class TestLeanMatchesGeneral:
+    def test_bundled_model_corpus(self, bundled_pred):
+        want = general_path(bundled_pred, CORPUS)
+        got = lean_path(bundled_pred, CORPUS)
+        assert got == want
+
+    def test_no_norm(self, bundled_pred):
+        want = general_path(bundled_pred, CORPUS, normalize=False)
+        got = lean_path(bundled_pred, CORPUS, normalize=False)
+        assert got == want
+
+    def test_wsconst_fused(self, bundled_pred):
+        ws = (int(CharacterType.KANJI), int(CharacterType.DIGIT))
+        want = general_path(bundled_pred, CORPUS, wsconst=ws)
+        got = lean_path(bundled_pred, CORPUS, wsconst=ws)
+        assert got == want
+
+    def test_astral_fallback(self, bundled_pred):
+        lines = ["まぁ社長", "猫だ\U0001F431猫だ", "まぁ良い"]  # emoji batch
+        want = general_path(bundled_pred, lines)
+        got = lean_path(bundled_pred, lines, batch_lines=2)
+        assert got == want
+
+    def test_golden_model(self):
+        from vaporetto_tpu.native import available
+
+        if not available():
+            pytest.skip("native library unavailable")
+        pred = Predictor(create_test_model())
+        lines = ["この人は地球人だ", "地球人だ", "人"]
+        assert lean_path(pred, lines) == general_path(pred, lines)
+
+    def test_batch_boundary_independence(self, bundled_pred):
+        lines = CORPUS * 5
+        for bl in (1, 3, 8, 64):
+            assert lean_path(bundled_pred, lines, batch_lines=bl) == \
+                general_path(bundled_pred, lines)
+
+
+class TestDetokNative:
+    def test_escapes_and_spaces(self):
+        from vaporetto_tpu.native import detok_native, available
+
+        if not available():
+            pytest.skip("native library unavailable")
+        text = "a b".encode("utf-8")
+        blob = np.frombuffer(text, dtype=np.uint8)
+        starts = np.array([0], dtype=np.int64)
+        ends = np.array([len(text)], dtype=np.int64)
+        # gaps: a|' ' boundary, ' '|b not
+        bnd = np.array([[1, 0]], dtype=np.int8)
+        out = detok_native(blob, starts, ends, bnd)
+        assert out == b"a \\ b\n"

@@ -203,3 +203,41 @@ class TestTrainRoundTrip:
             pred_py.predict(a)
             pred_nat.predict(b)
             assert np.array_equal(a.boundaries, b.boundaries), line
+
+
+class TestDictACScan:
+    def test_suffix_overlapping_dictionary(self, monkeypatch):
+        """The native extractor's AC dictionary scan (trainer.rs:227,
+        296-317 analogue) must emit exactly the Python probe's features
+        for suffix-nested and overlapping dictionary words — the cases
+        that exercise Aho-Corasick output links."""
+        from vaporetto_tpu.train.trainer import Trainer
+
+        dict_words = ["人", "地球人", "球人", "地球", "人だ", "この人"]
+        corpus = [
+            "この 人 は 地球人 だ",
+            "地球 人 だ この人",
+            "人 人 人",
+        ]
+
+        def feats(py: bool):
+            if py:
+                monkeypatch.setenv("VAPORETTO_TPU_PY_EXTRACTOR", "1")
+            else:
+                monkeypatch.delenv(
+                    "VAPORETTO_TPU_PY_EXTRACTOR", raising=False
+                )
+            t = Trainer(3, 3, 3, 3, dict_words, 4)
+            for line in corpus:
+                t.add_example(Sentence.from_tokenized(line))
+            return t, t.train(0.01, 1.0, 5)
+
+        t_py, m_py = feats(True)
+        t_nat, m_nat = feats(False)
+        assert t_nat._native is not None and t_py._native is None
+        assert t_py.n_features() == t_nat.n_features()
+        assert [r.word for r in m_py.dict_model] == [
+            r.word for r in m_nat.dict_model
+        ]
+        for r_py, r_nat in zip(m_py.dict_model, m_nat.dict_model):
+            assert r_py.weights == r_nat.weights, r_py.word

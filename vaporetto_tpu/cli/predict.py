@@ -63,10 +63,21 @@ def main(argv: Optional[List[str]] = None) -> int:
                    help="Prints tag scores.")
     p.add_argument("--no-norm", action="store_true",
                    help="Do not normalize input strings before prediction.")
-    p.add_argument("--batch-size", type=int, default=BATCH)
+    p.add_argument("--batch-size", type=int, default=None,
+                   help="Lines per device batch (default: 256 on the "
+                   "general path, 8192 on the lean serving path).")
     p.add_argument("--backend", choices=("device", "host"), default="device",
                    help="device = jitted TPU pipeline (throughput); host = "
                    "native C++ evaluator (low latency, bit-identical).")
+    p.add_argument("--no-lean", action="store_true",
+                   help="Disable the lean serving fast path (native "
+                   "tensorize -> uint16/int8 device kernel -> native "
+                   "detokenize); the general Sentence path is then used "
+                   "for all flag combinations.")
+    p.add_argument("--dp", type=int, default=0, metavar="N",
+                   help="Data-parallel scale-out: shard batches over the "
+                   "first N devices of a 1-D mesh (lean path only; model "
+                   "tables replicated, zero collectives).")
     args = p.parse_args(argv)
 
     pre_filter = KyteaFullwidthFilter()
@@ -81,6 +92,18 @@ def main(argv: Optional[List[str]] = None) -> int:
     print("Start tokenization", file=sys.stderr)
     out = sys.stdout
     start = time.perf_counter()
+
+    from ..serving import lean_path_supported
+
+    if not args.no_lean and lean_path_supported(args):
+        rc = _run_lean(args, predictor)
+        print(f"Elapsed: {time.perf_counter() - start} [sec]",
+              file=sys.stderr)
+        return rc
+    if args.dp:
+        print("warning: --dp requires the lean serving path "
+              "(no tags/scores, wsconst in D/R/H/T/K/O); ignored",
+              file=sys.stderr)
 
     def flush_batch(lines: List[str]) -> None:
         sentences: List[Optional[Sentence]] = []
@@ -119,15 +142,75 @@ def main(argv: Optional[List[str]] = None) -> int:
                 print_tag_scores(s, out)
 
     batch: List[str] = []
+    batch_size = args.batch_size or BATCH
     for line in sys.stdin:
         batch.append(line.rstrip("\n"))
-        if len(batch) >= args.batch_size:
+        if len(batch) >= batch_size:
             flush_batch(batch)
             batch = []
     if batch:
         flush_batch(batch)
 
     print(f"Elapsed: {time.perf_counter() - start} [sec]", file=sys.stderr)
+    return 0
+
+
+def _run_lean(args, predictor) -> int:
+    """The lean serving path: native tensorize (+ fused normalization) ->
+    uint16-in/int8-out device kernel (wsconst fused) -> native byte-level
+    detokenizer against the original input bytes. Output is identical to
+    the general path for the supported flag set (no tags/scores, wsconst
+    in D/R/H/T/K/O); rejected batches (astral chars) fall back per batch.
+    """
+    from ..serving import LeanServer
+    from .common import _WSCONST_MAP
+
+    pre_filter = KyteaFullwidthFilter()
+    post_filters = build_post_filters(args.wsconst)
+    out_b = sys.stdout.buffer
+
+    def fallback(lines: List[bytes]) -> None:
+        sentences: List[Optional[Sentence]] = []
+        texts = []
+        for raw in lines:
+            line = raw.decode("utf-8", errors="strict")
+            texts.append(line)
+            try:
+                text = line if args.no_norm else pre_filter.filter(line)
+                sentences.append(Sentence.from_raw(text))
+            except Exception:
+                sentences.append(None)
+        alive = [s for s in sentences if s is not None]
+        if alive:
+            predictor.predict_batch(alive)
+        for line, s in zip(texts, sentences):
+            if s is None:
+                out_b.write(b"\n")
+                continue
+            for f in post_filters:
+                f.filter(s)
+            orig = s
+            if not args.no_norm:
+                orig = Sentence.from_raw(line)
+                orig.boundaries = s.boundaries
+            out_b.write(orig.write_tokenized_text().encode("utf-8"))
+            out_b.write(b"\n")
+
+    mesh = None
+    if args.dp:
+        from ..parallel.mesh import make_mesh
+
+        mesh = make_mesh(args.dp)
+    server = LeanServer(
+        predictor,
+        wsconst=[int(_WSCONST_MAP[w]) for w in args.wsconst],
+        normalize=not args.no_norm,
+        batch_lines=args.batch_size or 8192,
+        fallback=fallback,
+        mesh=mesh,
+    )
+    server.run(sys.stdin.buffer, out_b)
+    out_b.flush()
     return 0
 
 

@@ -65,6 +65,29 @@ def _load() -> Optional[ctypes.CDLL]:
         ctypes.POINTER(ctypes.c_uint8),
         ctypes.POINTER(ctypes.c_int32),
     ]
+    lib.vt_tensorize16.restype = ctypes.c_int
+    lib.vt_tensorize16.argtypes = [
+        ctypes.POINTER(ctypes.c_uint8),
+        ctypes.POINTER(ctypes.c_int64),
+        ctypes.POINTER(ctypes.c_int64),
+        ctypes.c_int64,
+        ctypes.c_int32,
+        ctypes.POINTER(ctypes.c_uint16),
+        ctypes.POINTER(ctypes.c_uint16),
+        ctypes.POINTER(ctypes.c_int32),
+    ]
+    lib.vt_detok.restype = ctypes.c_int64
+    lib.vt_detok.argtypes = [
+        ctypes.POINTER(ctypes.c_uint8),
+        ctypes.POINTER(ctypes.c_int64),
+        ctypes.POINTER(ctypes.c_int64),
+        ctypes.c_int64,
+        ctypes.POINTER(ctypes.c_int8),
+        ctypes.c_int32,
+        ctypes.POINTER(ctypes.c_uint8),
+        ctypes.c_int64,
+        ctypes.c_int32,
+    ]
     lib.vt_extr_new.restype = ctypes.c_void_p
     lib.vt_extr_new.argtypes = [
         ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
@@ -884,3 +907,79 @@ def tensorize_native(
     if rc != 0:
         return None
     return cps, types, lengths
+
+
+def tensorize16_native(
+    blob: np.ndarray,  # uint8 UTF-8 bytes (lines need not be contiguous)
+    starts: np.ndarray,  # int64 (n_lines,) line start byte offsets
+    ends: np.ndarray,  # int64 (n_lines,) line end byte offsets
+    L: int,
+    norm_map: Optional[np.ndarray] = None,  # uint16[65536] codepoint map
+) -> Optional[Tuple[np.ndarray, np.ndarray]]:
+    """Lean uint16 tensorizer with fused normalization.
+
+    Returns (cps uint16 (n, L), lengths int32) or None when the batch
+    needs the general path (astral chars, lines longer than L, invalid
+    UTF-8, or no native library).
+    """
+    lib = _load()
+    if lib is None:
+        return None
+    n = len(starts)
+    starts = np.ascontiguousarray(starts, dtype=np.int64)
+    ends = np.ascontiguousarray(ends, dtype=np.int64)
+    cps = np.empty((n, L), dtype=np.uint16)
+    lengths = np.empty(n, dtype=np.int32)
+    U16P = ctypes.POINTER(ctypes.c_uint16)
+    I64P = ctypes.POINTER(ctypes.c_int64)
+    buf = blob if blob.size else np.zeros(1, dtype=np.uint8)
+    rc = lib.vt_tensorize16(
+        buf.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        starts.ctypes.data_as(I64P),
+        ends.ctypes.data_as(I64P),
+        n,
+        L,
+        norm_map.ctypes.data_as(U16P) if norm_map is not None else None,
+        cps.ctypes.data_as(U16P),
+        lengths.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+    )
+    if rc != 0:
+        return None
+    return cps, lengths
+
+
+def detok_native(
+    blob: np.ndarray,  # uint8 ORIGINAL UTF-8 bytes
+    starts: np.ndarray,  # int64 (n_lines,)
+    ends: np.ndarray,  # int64 (n_lines,)
+    boundaries: np.ndarray,  # int8 (n_lines, L-1) predicted gap labels
+    n_threads: int = 0,
+) -> Optional[bytes]:
+    """Tokenized-text writer: spaces at boundaries + reference escaping."""
+    lib = _load()
+    if lib is None:
+        return None
+    n = len(starts)
+    starts = np.ascontiguousarray(starts, dtype=np.int64)
+    ends = np.ascontiguousarray(ends, dtype=np.int64)
+    boundaries = np.ascontiguousarray(boundaries, dtype=np.int8)
+    Lm1 = boundaries.shape[1] if boundaries.ndim == 2 else 0
+    total = int((ends - starts).sum())
+    cap = 2 * total + n * (Lm1 + 1) + 1
+    out = np.empty(cap, dtype=np.uint8)
+    buf = blob if blob.size else np.zeros(1, dtype=np.uint8)
+    I64P = ctypes.POINTER(ctypes.c_int64)
+    written = lib.vt_detok(
+        buf.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        starts.ctypes.data_as(I64P),
+        ends.ctypes.data_as(I64P),
+        n,
+        boundaries.ctypes.data_as(ctypes.POINTER(ctypes.c_int8)),
+        Lm1,
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        cap,
+        n_threads,
+    )
+    if written < 0:
+        return None
+    return out[:written].tobytes()

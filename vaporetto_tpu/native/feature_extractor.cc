@@ -13,7 +13,6 @@
 #include <cstring>
 #include <string>
 #include <unordered_map>
-#include <unordered_set>
 #include <vector>
 
 namespace {
@@ -33,10 +32,69 @@ struct BlobHash {
   }
 };
 
+// Aho-Corasick automaton over the dictionary (reference builds one and
+// scans training text with overlapping matches, trainer.rs:227,296-317).
+// O(n + matches) per sentence vs the previous hash-set substring probe's
+// O(n * max_word_len) — the asymptotics that matter for long-word
+// dictionaries.
+struct DictAC {
+  std::vector<std::unordered_map<char32_t, int32_t>> next{1};
+  std::vector<int32_t> fail{0};
+  std::vector<int32_t> out_len{0};   // word length ending here (0 = none)
+  std::vector<int32_t> out_link{0};  // nearest terminal suffix node
+
+  void insert(const std::u32string& w) {
+    int32_t s = 0;
+    for (char32_t c : w) {
+      auto it = next[s].find(c);
+      if (it == next[s].end()) {
+        int32_t v = static_cast<int32_t>(next.size());
+        next[s][c] = v;
+        next.emplace_back();
+        fail.push_back(0);
+        out_len.push_back(0);
+        out_link.push_back(0);
+        s = v;
+      } else {
+        s = it->second;
+      }
+    }
+    out_len[s] = static_cast<int32_t>(w.size());
+  }
+
+  void build() {
+    std::vector<int32_t> queue;
+    for (auto& kv : next[0]) queue.push_back(kv.second);
+    for (size_t qi = 0; qi < queue.size(); ++qi) {
+      int32_t u = queue[qi];
+      for (auto& kv : next[u]) {
+        char32_t c = kv.first;
+        int32_t v = kv.second;
+        int32_t f = fail[u];
+        while (f && !next[f].count(c)) f = fail[f];
+        auto it = next[f].find(c);
+        fail[v] = (it != next[f].end() && it->second != v) ? it->second : 0;
+        out_link[v] =
+            out_len[fail[v]] ? fail[v] : out_link[fail[v]];
+        queue.push_back(v);
+      }
+    }
+  }
+
+  int32_t step(int32_t s, char32_t c) const {
+    while (true) {
+      auto it = next[s].find(c);
+      if (it != next[s].end()) return it->second;
+      if (s == 0) return 0;
+      s = fail[s];
+    }
+  }
+};
+
 struct Extractor {
   int charw, charn, typew, typen, dictn;
-  std::unordered_set<std::u32string> dict;
-  int max_word_len = 0;
+  DictAC dict_ac;
+  bool has_dict = false;
   std::unordered_map<std::string, uint32_t, BlobHash> feature_ids;
   std::vector<std::string> keys_in_order;
   // examples: flattened (fid, count) pairs + offsets + labels
@@ -80,9 +138,12 @@ void* vt_extr_new(int charw, int charn, int typew, int typen, int dictn,
     for (int64_t j = dict_offsets[i]; j < dict_offsets[i + 1]; ++j) {
       w.push_back(static_cast<char32_t>(dict_data[j]));
     }
-    e->max_word_len = std::max<int>(e->max_word_len, (int)w.size());
-    e->dict.insert(std::move(w));
+    if (!w.empty()) {
+      e->dict_ac.insert(w);
+      e->has_dict = true;
+    }
   }
+  if (e->has_dict) e->dict_ac.build();
   return e;
 }
 
@@ -123,36 +184,35 @@ int vt_extr_add(void* h, const int32_t* cps, const uint8_t* types,
       }
     }
   }
-  // dictionary features from overlapping matches (trainer.rs:296-317)
-  if (!e->dict.empty()) {
-    std::u32string window;
-    for (int64_t end = 1; end <= n; ++end) {
-      int maxk = std::min<int64_t>(e->max_word_len, end);
-      for (int k = 1; k <= maxk; ++k) {
+  // dictionary features from overlapping AC matches (trainer.rs:296-317)
+  if (e->has_dict) {
+    const DictAC& ac = e->dict_ac;
+    int32_t state = 0;
+    for (int64_t pos = 0; pos < n; ++pos) {
+      state = ac.step(state, static_cast<char32_t>(cps[pos]));
+      int64_t end = pos + 1;
+      for (int32_t t = ac.out_len[state] ? state : ac.out_link[state];
+           t; t = ac.out_link[t]) {
+        int64_t k = ac.out_len[t];
         int64_t start = end - k;
-        window.assign(k, U'\0');
-        for (int m = 0; m < k; ++m)
-          window[m] = static_cast<char32_t>(cps[start + m]);
-        if (e->dict.count(window)) {
-          int len = std::min(k, e->dictn);
-          if (start != 0) {
-            key.clear();
-            key.push_back(0x03);
-            push_i32(key, len);
-            gap_feats[start - 1][e->intern(key)] += 1.0f;
-          }
-          for (int64_t g = start; g < end - 1; ++g) {
-            key.clear();
-            key.push_back(0x04);
-            push_i32(key, len);
-            gap_feats[g][e->intern(key)] += 1.0f;
-          }
-          if (end != n) {
-            key.clear();
-            key.push_back(0x05);
-            push_i32(key, len);
-            gap_feats[end - 1][e->intern(key)] += 1.0f;
-          }
+        int len = static_cast<int>(std::min<int64_t>(k, e->dictn));
+        if (start != 0) {
+          key.clear();
+          key.push_back(0x03);
+          push_i32(key, len);
+          gap_feats[start - 1][e->intern(key)] += 1.0f;
+        }
+        for (int64_t g = start; g < end - 1; ++g) {
+          key.clear();
+          key.push_back(0x04);
+          push_i32(key, len);
+          gap_feats[g][e->intern(key)] += 1.0f;
+        }
+        if (end != n) {
+          key.clear();
+          key.push_back(0x05);
+          push_i32(key, len);
+          gap_feats[end - 1][e->intern(key)] += 1.0f;
         }
       }
     }

@@ -7,6 +7,8 @@
 
 #include <cstdint>
 #include <cstring>
+#include <thread>
+#include <vector>
 
 namespace {
 
@@ -75,6 +77,129 @@ int vt_tensorize(const uint8_t* utf8, const int64_t* line_offsets,
     lengths[row] = n < L ? n : L;
   }
   return 0;
+}
+
+// Lean-serving tensorizer: decode + (optional) 1:1 normalization into a
+// (n_lines, L) uint16 codepoint batch — the HBM-lean input form of
+// Predictor.serve_boundaries_fn (char types are classified on device).
+// map_bmp (nullable): uint16[65536] codepoint map applied during decode —
+// the CLI passes the KyTea fullwidth normalization table
+// (kytea_fullwidth.rs:13-118 analogue) so boundaries predicted on the
+// normalized text can be re-applied byte-wise onto the ORIGINAL line by
+// vt_detok (the map is 1 char to 1 char).
+// Lines are given as (starts, ends) byte ranges into utf8 — they need not
+// be contiguous, so callers can point straight into a newline-delimited
+// input chunk without compaction.
+// Returns 0 ok; 1 invalid UTF-8; 2 astral codepoint present (caller falls
+// back to the int32 path); 3 a line exceeds L chars (caller falls back).
+int vt_tensorize16(const uint8_t* utf8, const int64_t* starts,
+                   const int64_t* ends, int64_t n_lines, int32_t L,
+                   const uint16_t* map_bmp, uint16_t* cps,
+                   int32_t* lengths) {
+  for (int64_t row = 0; row < n_lines; ++row) {
+    const uint8_t* p = utf8 + starts[row];
+    const uint8_t* end = utf8 + ends[row];
+    uint16_t* cp_row = cps + row * L;
+    int32_t n = 0;
+    while (p < end) {
+      uint32_t c;
+      uint8_t b0 = *p;
+      if (b0 < 0x80) {
+        c = b0;
+        p += 1;
+      } else if ((b0 >> 5) == 0x6) {
+        if (end - p < 2) return 1;
+        c = ((b0 & 0x1F) << 6) | (p[1] & 0x3F);
+        p += 2;
+      } else if ((b0 >> 4) == 0xE) {
+        if (end - p < 3) return 1;
+        c = ((b0 & 0x0F) << 12) | ((p[1] & 0x3F) << 6) | (p[2] & 0x3F);
+        p += 3;
+      } else if ((b0 >> 3) == 0x1E) {
+        return 2;  // astral plane: route to the int32 path
+      } else {
+        return 1;
+      }
+      if (n >= L) return 3;
+      cp_row[n++] =
+          map_bmp ? map_bmp[c] : static_cast<uint16_t>(c);
+    }
+    lengths[row] = n;
+    std::memset(cp_row + n, 0, sizeof(uint16_t) * (L - n));
+  }
+  return 0;
+}
+
+// Detokenize: insert spaces into the ORIGINAL UTF-8 lines at predicted
+// word boundaries, escaping ' ', '/', '\\' with '\\' exactly like the
+// tokenized writer (reference sentence.rs:850-886), one output line per
+// input line. bnd: (n_lines, Lm1) int8 row-major, gap i between chars
+// i/i+1 (1 = WordBoundary). Escape/space bytes are all ASCII and UTF-8
+// continuation bytes are recognizable by their top bits, so this is a
+// byte-level pass — no decode. Lines given as (starts, ends) ranges (see
+// vt_tensorize16). Returns bytes written, or -1 if out_cap would be
+// exceeded (caller sizes out to 2*total_bytes + n_lines*(Lm1+1), which
+// can never overflow).
+int64_t vt_detok(const uint8_t* utf8, const int64_t* starts,
+                 const int64_t* ends, int64_t n_lines, const int8_t* bnd,
+                 int32_t Lm1, uint8_t* out, int64_t out_cap,
+                 int32_t n_threads) {
+  // per-line output upper bound lets lines be emitted independently and
+  // compacted, so the pass parallelizes across a thread pool
+  std::vector<int64_t> out_len(n_lines, 0);
+  std::vector<int64_t> out_start(n_lines + 1, 0);
+  for (int64_t row = 0; row < n_lines; ++row) {
+    int64_t nbytes = ends[row] - starts[row];
+    out_start[row + 1] = out_start[row] + 2 * nbytes + Lm1 + 1;
+  }
+  if (out_start[n_lines] > out_cap) return -1;
+  auto work = [&](int64_t lo, int64_t hi) {
+    for (int64_t row = lo; row < hi; ++row) {
+      const uint8_t* p = utf8 + starts[row];
+      const uint8_t* end = utf8 + ends[row];
+      const int8_t* b = bnd + row * Lm1;
+      uint8_t* o = out + out_start[row];
+      uint8_t* o0 = o;
+      int32_t ci = 0;  // char index of the char starting at p
+      while (p < end) {
+        uint8_t byte = *p;
+        if ((byte & 0xC0) != 0x80) {  // char start
+          if (ci > 0 && ci <= Lm1 && b[ci - 1] == 1) *o++ = ' ';
+          ++ci;
+          if (byte == ' ' || byte == '/' || byte == '\\') *o++ = '\\';
+        }
+        *o++ = byte;
+        ++p;
+      }
+      *o++ = '\n';
+      out_len[row] = o - o0;
+    }
+  };
+  if (n_threads <= 0) {
+    n_threads = static_cast<int32_t>(std::thread::hardware_concurrency());
+    if (n_threads <= 0) n_threads = 1;
+  }
+  if (n_threads > n_lines) n_threads = static_cast<int32_t>(n_lines);
+  if (n_threads <= 1 || n_lines < 256) {
+    work(0, n_lines);
+  } else {
+    std::vector<std::thread> threads;
+    int64_t per = (n_lines + n_threads - 1) / n_threads;
+    for (int32_t t = 0; t < n_threads; ++t) {
+      int64_t lo = t * per;
+      int64_t hi = lo + per < n_lines ? lo + per : n_lines;
+      if (lo >= hi) break;
+      threads.emplace_back(work, lo, hi);
+    }
+    for (auto& th : threads) th.join();
+  }
+  int64_t w = 0;
+  for (int64_t row = 0; row < n_lines; ++row) {
+    if (w != out_start[row])
+      std::memmove(out + w, out + out_start[row], out_len[row]);
+    w += out_len[row];
+  }
+  return w;
 }
 
 }  // extern "C"

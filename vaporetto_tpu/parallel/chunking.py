@@ -37,12 +37,18 @@ def influence_radius(compiled) -> int:
     return r
 
 
-def predict_long(predictor, sentence, chunk_size: int = 4096) -> None:
+def predict_long(predictor, sentence, chunk_size: int = 4096,
+                 predict_fn=None) -> None:
     """Predict a long sentence via halo-overlap chunks, exactly.
 
     Produces identical boundary scores / boundaries / match states to a
     whole-line prediction (verified by tests), while keeping device shapes
     fixed at ``chunk_size + 2R``.
+
+    ``predict_fn``: optional ``(B, L) -> fn`` factory overriding the
+    predictor's jit cache — the sharded data-parallel path passes
+    ``lambda B, L: sharded_fn`` so the chunk batch itself shards over the
+    device mesh (chunk count must then divide by the mesh size).
     """
     from ..sentence import Sentence
     from ..utils.batch import tensorize
@@ -74,7 +80,11 @@ def predict_long(predictor, sentence, chunk_size: int = 4096) -> None:
         cts[i, : hi - lo] = sentence.char_types[lo:hi]
         lengths[i] = hi - lo
 
-    fn = predictor._predict_fn(len(rows), L)
+    fn = (
+        predict_fn(len(rows), L)
+        if predict_fn is not None
+        else predictor._predict_fn(len(rows), L)
+    )
     scores, char_match, type_match = fn(cps, cts, lengths)
     scores = np.asarray(scores)
     char_match = np.asarray(char_match) if char_match is not None else None

@@ -135,8 +135,20 @@ class Predictor:
             self._jit_cache[key] = fn
         return fn
 
-    def serve_boundaries_fn(self):
+    def serve_boundaries_fn(self, wsconst_types: Tuple[int, ...] = (),
+                            mesh=None, mesh_axis: str = "dp"):
         """HBM-lean serving path: ``fn(codepoints, lengths) -> int8 (B, L-1)``.
+
+        ``wsconst_types``: character-type codes whose equal-type neighbor
+        gaps are forced to NotWordBoundary ON DEVICE — the KyteaWsConst
+        post filter (kytea_wsconst.rs:27-45) fused into the serving kernel
+        at zero host cost.
+
+        ``mesh``: a 1-D ``jax.sharding.Mesh`` for data-parallel scale-out —
+        the batch dimension is sharded over ``mesh_axis``, tables are
+        replicated, and (the pipeline being embarrassingly data-parallel)
+        the compiled program contains NO collectives: scaling is linear by
+        construction. Batch size must divide by the mesh size.
 
         For throughput serving where only the segmentation is needed (no
         ``--scores``, no tags). Compared to the full predict function it
@@ -192,11 +204,27 @@ class Predictor:
                 )
             scores, _, _ = traced(cps, cts, lengths, tables)
             gaps = scores[:, pad_left : pad_left + L - 1] > 0
+            for wt in wsconst_types:
+                gaps = gaps & ~((cts[:, :-1] == wt) & (cts[:, 1:] == wt))
             t_idx = jax.lax.broadcasted_iota(jnp.int32, (B, L - 1), 1)
             gaps = gaps & (t_idx < (lengths[:, None] - 1))
             return gaps.astype(jnp.int8)
 
-        jitted = jax.jit(fn)
+        if mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            batch_sh = NamedSharding(mesh, P(mesh_axis, None))
+            vec_sh = NamedSharding(mesh, P(mesh_axis))
+            rep = NamedSharding(mesh, P())
+            table_sh = jax.tree.map(lambda _: rep, tables)
+            jitted = jax.jit(
+                fn,
+                in_shardings=(batch_sh, vec_sh, table_sh),
+                out_shardings=batch_sh,
+            )
+            tables = jax.device_put(tables, table_sh)
+        else:
+            jitted = jax.jit(fn)
 
         def wrapper(cps, lengths):
             return jitted(cps, lengths, tables)
@@ -299,11 +327,32 @@ class Predictor:
         self.predict_batch([sentence])
 
     def predict_batch(self, sentences: Sequence[Sentence]) -> None:
-        """Predict boundaries for a batch of sentences in place."""
+        """Predict boundaries for a batch of sentences in place.
+
+        Sentences beyond ``LONG_SENTENCE_THRESHOLD`` are routed through
+        halo-overlap chunking individually (parallel/chunking.py) so one
+        long line cannot inflate the whole batch's device shape.
+        """
         if not sentences:
             return
         if self.backend == "host" and self.predict_host_batch(sentences):
             return
+        long_ones = [
+            s for s in sentences if len(s) > self.LONG_SENTENCE_THRESHOLD
+        ]
+        if long_ones:
+            from .parallel.chunking import predict_long
+
+            for s in long_ones:
+                predict_long(
+                    self, s, chunk_size=self.LONG_SENTENCE_THRESHOLD
+                )
+            sentences = [
+                s for s in sentences
+                if len(s) <= self.LONG_SENTENCE_THRESHOLD
+            ]
+            if not sentences:
+                return
         cps, cts, lengths = tensorize(sentences)
         B, L = cps.shape
         fn = self._predict_fn(B, L)

@@ -147,6 +147,7 @@ class Sentence:
         "n_tags",
         "_predictor",
         "_char_to_str_pos",
+        "_byte_maps",
     )
 
     def __init__(self) -> None:
@@ -171,6 +172,7 @@ class Sentence:
         self.n_tags = 0
         self._predictor = None
         self._char_to_str_pos: Optional[np.ndarray] = None
+        self._byte_maps = None
 
     @classmethod
     def default(cls) -> "Sentence":
@@ -184,6 +186,7 @@ class Sentence:
         self._predictor = None
         self.tag_scores = []
         self._char_to_str_pos = None
+        self._byte_maps = None
 
     @classmethod
     def from_raw(cls, text: str) -> "Sentence":
@@ -325,6 +328,39 @@ class Sentence:
         if self._char_to_str_pos is None or len(self._char_to_str_pos) != self.len() + 1:
             self._char_to_str_pos = np.arange(self.len() + 1, dtype=np.int64)
         return self._char_to_str_pos
+
+    def _build_byte_maps(self):
+        if self._byte_maps is None:
+            cps = self.codepoints
+            blen = np.where(
+                cps < 0x80, 1,
+                np.where(cps < 0x800, 2, np.where(cps < 0x10000, 3, 4)),
+            ).astype(np.int64)
+            c2s = np.zeros(len(cps) + 1, dtype=np.int64)
+            np.cumsum(blen, out=c2s[1:])
+            s2c = np.zeros(int(c2s[-1]) + 1, dtype=np.int64)
+            s2c[c2s] = np.arange(len(cps) + 1, dtype=np.int64)
+            self._byte_maps = (s2c, c2s)
+        return self._byte_maps
+
+    def char_to_str_pos(self) -> np.ndarray:
+        """Char index -> UTF-8 byte offset prefix map, length ``len + 1``
+        (reference sentence.rs:100,1189-1191). The reference keeps these
+        maps because Rust strings index by byte; library users doing
+        byte-offset work (e.g. search-engine integrations, AC matches over
+        the UTF-8 stream) get the same API here."""
+        return self._build_byte_maps()[1]
+
+    def str_to_char_pos(self, pos: int) -> int:
+        """UTF-8 byte offset -> char index (reference
+        sentence.rs:99,164-196,1179-1181). Char-start bytes and the end
+        offset map to their char index; mid-character bytes map to 0,
+        matching the reference's construction."""
+        return int(self._build_byte_maps()[0][pos])
+
+    def str_to_char_pos_map(self) -> np.ndarray:
+        """The full byte -> char map, length ``byte_len + 1``."""
+        return self._build_byte_maps()[0]
 
     # ------------------------------------------------------------------
     # token iteration / writers

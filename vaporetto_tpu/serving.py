@@ -1,0 +1,200 @@
+"""Lean high-throughput serving pipeline (stdin -> tokenized stdout).
+
+The reference predict CLI's whole-pipeline contract is wall-clock elapsed
+over the per-line loop (predict/src/main.rs:124,183-185). This module is
+the TPU-native equivalent tuned end-to-end:
+
+    bytes -> native uint16 tensorize (+ fused fullwidth normalization)
+          -> device boundary kernel (uint16 in, int8 out, wsconst fused)
+          -> native byte-level detokenizer against the ORIGINAL bytes
+          -> bytes
+
+* ~3 B/char crosses the host<->device boundary (uint16 codepoints in,
+  int8 gap labels out) vs ~16 B/char on the general path.
+* Each stage is C++ or XLA; Python only orchestrates batches. Lines are
+  addressed as (start, end) byte ranges straight into the read chunk —
+  the input bytes are never copied host-side.
+* Double buffering: batch k+1 is dispatched before batch k's result is
+  read back, overlapping device compute with host detokenization.
+
+Lines the lean path cannot represent (astral-plane codepoints) fall back
+to the caller-provided general path, preserving output order.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, List, Optional, Sequence
+
+import numpy as np
+
+from .utils.batch import bucket_length
+
+__all__ = ["LeanServer", "lean_path_supported"]
+
+#: wsconst flags the lean path can fuse on device (G = grapheme clustering
+#: needs host-side UAX#29 segmentation and falls back)
+_WSCONST_FAST = {"D", "R", "H", "T", "K", "O"}
+
+
+def lean_path_supported(args_like) -> bool:
+    """Whether the predict-CLI flag set can take the lean path."""
+    from .native import available
+
+    return (
+        not args_like.predict_tags
+        and not args_like.scores
+        and not args_like.tag_scores
+        and getattr(args_like, "backend", "device") == "device"
+        and all(w in _WSCONST_FAST for w in args_like.wsconst)
+        and available()
+    )
+
+
+def _fullwidth_norm_map() -> np.ndarray:
+    """uint16[65536] codepoint map of the KyTea fullwidth filter
+    (kytea_fullwidth.rs:13-118); identity elsewhere."""
+    from .rules.string_filters import FULLWIDTH_MAP
+
+    table = np.arange(65536, dtype=np.uint16)
+    for src, dst in FULLWIDTH_MAP.items():
+        table[ord(src)] = ord(dst)
+    return table
+
+
+class LeanServer:
+    """Streams line-delimited UTF-8 through the lean boundary pipeline.
+
+    ``wsconst``: character-type codes (ints) fused as device-side
+    KyteaWsConst filters. ``fallback(lines: List[bytes])`` handles batches
+    the lean path rejects (must write its own output, in order).
+    """
+
+    def __init__(
+        self,
+        predictor,
+        wsconst: Sequence[int] = (),
+        normalize: bool = True,
+        batch_lines: int = 8192,
+        fallback: Optional[Callable[[List[bytes]], None]] = None,
+        mesh=None,
+    ):
+        if mesh is not None and batch_lines % mesh.devices.size:
+            raise ValueError("batch_lines must divide by the mesh size")
+        self.predictor = predictor
+        self.fn = predictor.serve_boundaries_fn(
+            tuple(sorted(wsconst)), mesh=mesh
+        )
+        self.norm_map = _fullwidth_norm_map() if normalize else None
+        self.batch_lines = batch_lines
+        self.fallback = fallback
+        self.n_lines = 0
+        self.n_chars = 0
+
+    # ------------------------------------------------------------------
+
+    def _dispatch(self, blob, starts, ends, n_valid):
+        """Tensorize + dispatch one group; returns the pending tuple or
+        None if the group needs the general path."""
+        from .native import tensorize16_native
+
+        # exact per-line char counts in one vectorized pass (UTF-8 char
+        # starts are the non-continuation bytes)
+        is_start = ((blob & 0xC0) != 0x80).astype(np.int64)
+        csum = np.zeros(len(blob) + 1, dtype=np.int64)
+        np.cumsum(is_start, out=csum[1:])
+        counts = csum[ends] - csum[starts]
+        max_chars = int(counts.max(initial=0))
+        if max_chars > self.predictor.LONG_SENTENCE_THRESHOLD:
+            # very long lines go through the general path's halo-overlap
+            # chunking (parallel/chunking.py) instead of inflating the
+            # device batch shape
+            return None
+        L = bucket_length(max_chars + 1)
+        t16 = tensorize16_native(blob, starts, ends, L, self.norm_map)
+        if t16 is None:
+            return None
+        cps, lengths = t16
+        bnd = self.fn(cps, lengths)
+        self.n_lines += n_valid
+        self.n_chars += int(lengths[:n_valid].sum())
+        return bnd, blob, starts[:n_valid], ends[:n_valid]
+
+    def _realize(self, pending, out) -> None:
+        from .native import detok_native
+
+        bnd_dev, blob, starts, ends = pending
+        bnd = np.asarray(bnd_dev)  # the one device->host readback
+        data = detok_native(blob, starts, ends, bnd[: len(starts)])
+        if data is None:  # native lib raced away; should not happen
+            raise RuntimeError("native detokenizer unavailable")
+        out.write(data)
+
+    # ------------------------------------------------------------------
+
+    def run(self, infile, out) -> None:
+        """Stream ``infile`` (binary) to ``out`` (binary), line-delimited.
+
+        Batches are exactly ``batch_lines`` rows (short tails padded with
+        empty lines so jit sees one batch dimension); row length is
+        bucketed per batch.
+        """
+        read_chunk = max(1 << 23, self.batch_lines * 512)
+        pending = None
+        carry = b""
+        eof = False
+        while not eof:
+            data = infile.read(read_chunk)
+            if not data:
+                eof = True
+                data = carry
+                if not data:
+                    break
+                if not data.endswith(b"\n"):
+                    data += b"\n"
+                carry = b""
+            else:
+                data = carry + data
+                cut = data.rfind(b"\n")
+                if cut < 0:
+                    carry = data
+                    continue
+                carry = data[cut + 1 :]
+                data = data[: cut + 1]
+            blob = np.frombuffer(data, dtype=np.uint8)
+            nl = np.flatnonzero(blob == 0x0A)
+            if len(nl) == 0:
+                continue
+            starts = np.empty(len(nl), dtype=np.int64)
+            starts[0] = 0
+            starts[1:] = nl[:-1] + 1
+            ends = nl
+            B = self.batch_lines
+            n = len(nl)
+            for g in range(0, n, B):
+                hi = min(g + B, n)
+                gs = starts[g:hi]
+                ge = ends[g:hi]
+                if hi - g < B:  # pad the tail group with empty lines
+                    pad = np.zeros(B - (hi - g), dtype=np.int64)
+                    gs = np.concatenate((gs, pad))
+                    ge = np.concatenate((ge, pad))
+                done = self._dispatch(blob, gs, ge, hi - g)
+                if done is None:
+                    if pending is not None:
+                        self._realize(pending, out)
+                        pending = None
+                    self._run_fallback(blob, starts[g:hi], ends[g:hi], out)
+                    continue
+                if pending is not None:
+                    self._realize(pending, out)
+                pending = done
+        if pending is not None:
+            self._realize(pending, out)
+
+    def _run_fallback(self, blob, starts, ends, out) -> None:
+        if self.fallback is None:
+            raise RuntimeError("batch needs the general path; no fallback")
+        lines = [
+            blob[s:e].tobytes() for s, e in zip(starts.tolist(), ends.tolist())
+        ]
+        self.fallback(lines)

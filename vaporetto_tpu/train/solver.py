@@ -36,13 +36,33 @@ LOGISTIC = 0
 L2_HINGE = 1
 L1_HINGE = 2
 
+#: Nesterov smoothing width for the (non-smooth) hinge loss: the smoothed
+#: loss is within MU/2 of the true hinge everywhere and has a 1/MU-
+#: Lipschitz gradient, so FISTA converges at its accelerated rate (the
+#: plain subgradient has no such guarantee).
+HINGE_SMOOTHING_MU = 0.01
+
 
 def solver_loss_kind(solver: int) -> int:
-    """Map the reference SolverType enum (trainer.rs:22-47) to a loss.
+    """Map the reference SolverType enum (trainer.rs:22-80) to a loss.
 
-    Crammer-Singer multiclass SVC (4) is substituted by one-vs-rest
-    squared-hinge — a documented deviation; all other solvers keep their
-    LIBLINEAR objective.
+    LIBLINEAR's dual solvers optimize the SAME primal objective as their
+    primal counterparts (dual ascent is an algorithmic choice, not a
+    different model), so the dual->primal mapping here is exact on the
+    objective:
+
+    | enum | LIBLINEAR solver        | objective solved here            |
+    |------|-------------------------|----------------------------------|
+    | 0    | L2R_LR (primal)         | L2 reg + logistic                |
+    | 1    | L2R_L2LOSS_SVC_DUAL     | L2 reg + squared hinge (= 2)     |
+    | 2    | L2R_L2LOSS_SVC (primal) | L2 reg + squared hinge           |
+    | 3    | L2R_L1LOSS_SVC_DUAL     | L2 reg + hinge (Nesterov-        |
+    |      |                         | smoothed by MU for FISTA)        |
+    | 4    | MCSVM_CS (Crammer-      | one-vs-rest squared hinge —      |
+    |      | Singer multiclass)      | documented substitution          |
+    | 5    | L1R_L2LOSS_SVC          | L1 reg + squared hinge           |
+    | 6    | L1R_LR                  | L1 reg + logistic                |
+    | 7    | L2R_LR_DUAL             | L2 reg + logistic (= 0)          |
     """
     if solver in (0, 6, 7):
         return LOGISTIC
@@ -74,13 +94,21 @@ def _losses(kind):
         def dloss(m):
             return -2.0 * jnp.maximum(0.0, 1.0 - m)
 
-    else:  # L1_HINGE — smooth the kink with a tiny huberization for FISTA
+    else:  # L1_HINGE — Nesterov-smoothed hinge (see HINGE_SMOOTHING_MU):
+        # 0 for z <= 0, z^2/(2 mu) for 0 < z < mu, z - mu/2 beyond,
+        # with z = 1 - m. Gradient is 1/mu-Lipschitz.
+        mu = HINGE_SMOOTHING_MU
 
         def loss(m):
-            return jnp.maximum(0.0, 1.0 - m)
+            z = 1.0 - m
+            return jnp.where(
+                z <= 0.0,
+                0.0,
+                jnp.where(z >= mu, z - 0.5 * mu, z * z / (2.0 * mu)),
+            )
 
         def dloss(m):
-            return jnp.where(m < 1.0, -1.0, 0.0)
+            return -jnp.clip((1.0 - m) / mu, 0.0, 1.0)
 
     return loss, dloss
 
@@ -136,7 +164,14 @@ def _fista(
     v0 = jnp.ones((n_dim,), dtype=jnp.float32) / np.sqrt(n_dim)
     v = jax.lax.fori_loop(0, 16, power_body, v0)
     sigma2 = jnp.linalg.norm(rmatvec(matvec(v)))
-    curvature = 1.0 if loss_kind != L2_HINGE else 2.0
+    # loss-curvature bound: logistic <= 1/4 (we use 1 for safety),
+    # squared hinge = 2, smoothed hinge = 1/mu
+    if loss_kind == L2_HINGE:
+        curvature = 2.0
+    elif loss_kind == L1_HINGE:
+        curvature = 1.0 / HINGE_SMOOTHING_MU
+    else:
+        curvature = 1.0
     lip = cost * sigma2 * curvature + (0.0 if l1 else 1.0) + 1e-6
     step = 1.0 / lip
 
