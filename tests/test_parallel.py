@@ -171,3 +171,95 @@ class TestShardedServe:
             assert out.returncode == 0, out.stderr
             outs[name] = out.stdout
         assert outs["dp"] == outs["plain"]
+
+
+class TestShardedTraining:
+    """Data-parallel training is user-reachable (train --dp N), not just a
+    dryrun: the solver's example matrix shards over the mesh and the model
+    that comes out matches single-device training."""
+
+    CORPUS = [
+        "これ は テスト です",
+        "これ も テスト です",
+        "テスト は 大事 です",
+        "大事 な テスト",
+        "良い テスト と 悪い テスト",
+        "それ は それ で 良い",
+    ]
+
+    def _train(self, mesh, solver=5, tags=False):
+        from vaporetto_tpu.train.trainer import Trainer
+
+        corpus = self.CORPUS
+        if tags:
+            corpus = [
+                "これ/代名詞 は/助詞 テスト/名詞 です/助動詞",
+                "これ/代名詞 も/助詞 テスト/名詞 です/助動詞",
+                "テスト/名詞 は/助詞 これ/代名詞 です/助動詞",
+                "それ/代名詞 は/助詞 テスト/名詞 かも/助詞",
+            ]
+        trainer = Trainer(3, 3, 3, 3, [], 4)
+        for line in corpus:
+            trainer.add_example(Sentence.from_tokenized(line))
+        return trainer.train(0.01, 1.0, solver, mesh=mesh)
+
+    @pytest.mark.parametrize("solver", [0, 5])
+    def test_sharded_matches_single_device(self, solver):
+        mesh = make_mesh(N_DEV)
+        m_sharded = self._train(mesh, solver=solver)
+        m_single = self._train(None, solver=solver)
+        # float reduction order may differ across shardings; the quantized
+        # integer weights must still agree (same objective, same FISTA path)
+        assert m_sharded.bias == m_single.bias
+        a = {d.ngram: d.weights for d in m_sharded.char_ngram_model}
+        b = {d.ngram: d.weights for d in m_single.char_ngram_model}
+        assert set(a) == set(b)
+        for k in a:
+            assert np.max(np.abs(np.array(a[k]) - np.array(b[k]))) <= 1, k
+        # and the trained model reproduces the training data
+        pred = Predictor(m_sharded)
+        correct = total = 0
+        for line in self.CORPUS:
+            gold = Sentence.from_tokenized(line)
+            s = Sentence.from_raw(gold.as_raw_text())
+            pred.predict(s)
+            total += len(gold.boundaries)
+            correct += int(
+                np.sum(np.asarray(gold.boundaries) == np.asarray(s.boundaries))
+            )
+        assert correct / total >= 0.95
+
+    def test_sharded_tag_training(self):
+        mesh = make_mesh(N_DEV)
+        model = self._train(mesh, solver=5, tags=True)
+        assert model.tag_models
+        pred = Predictor(model, True)
+        s = Sentence.from_raw("これはテストです")
+        pred.predict(s)
+        s.fill_tags()
+        assert s.write_tokenized_text() == "これ/代名詞 は/助詞 テスト/名詞 です/助動詞"
+
+    def test_train_cli_dp_flag(self, tmp_path):
+        import subprocess
+        import sys
+
+        corpus = tmp_path / "corpus.txt"
+        corpus.write_text("\n".join(self.CORPUS) + "\n")
+        env = {"PATH": "/usr/bin:/bin", "JAX_PLATFORMS": "cpu",
+               "PYTHONPATH": "/root/repo", "HOME": "/root",
+               "XLA_FLAGS": "--xla_force_host_platform_device_count=8"}
+        models = {}
+        for name, flags in (("dp", ["--dp", "4"]), ("plain", [])):
+            model_path = tmp_path / f"model_{name}.zst"
+            out = subprocess.run(
+                [sys.executable, "-m", "vaporetto_tpu.cli.train",
+                 "--tok", str(corpus), "--model", str(model_path),
+                 "--solver", "5", *flags],
+                capture_output=True, text=True, timeout=560, env=env,
+            )
+            assert out.returncode == 0, out.stderr
+            models[name] = Model.read(str(model_path))
+        assert models["dp"].bias == models["plain"].bias
+        a = {d.ngram: d.weights for d in models["dp"].char_ngram_model}
+        b = {d.ngram: d.weights for d in models["plain"].char_ngram_model}
+        assert set(a) == set(b)

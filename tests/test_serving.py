@@ -141,3 +141,62 @@ class TestDetokNative:
         bnd = np.array([[1, 0]], dtype=np.int8)
         out = detok_native(blob, starts, ends, bnd)
         assert out == b"a \\ b\n"
+
+
+class TestInputRobustness:
+    def test_crlf_lines_match_general_path(self, bundled_pred):
+        """CRLF corpora: the lean byte splitter must strip the trailing
+        '\r' exactly like universal-newline stdin / the reference's
+        BufRead::lines."""
+        from vaporetto_tpu.serving import LeanServer
+
+        sink = io.BytesIO()
+        server = LeanServer(bundled_pred, fallback=None, batch_lines=4)
+        blob = "".join(l + "\r\n" for l in CORPUS if l).encode("utf-8")
+        server.run(io.BytesIO(blob), sink)
+        expected = general_path(bundled_pred, [l for l in CORPUS if l])
+        assert sink.getvalue() == expected
+
+    def test_invalid_utf8_routes_to_fallback(self, bundled_pred):
+        """Malformed UTF-8 (bad continuation byte) must be rejected by the
+        native tensorizer (rc=1 -> fallback), not silently decoded."""
+        from vaporetto_tpu.serving import LeanServer
+
+        sink = io.BytesIO()
+        seen = []
+
+        def fallback(lines):
+            seen.extend(lines)
+            for _ in lines:
+                sink.write(b"\n")
+
+        server = LeanServer(bundled_pred, fallback=fallback, batch_lines=4)
+        bad = b"\xc3\x41"  # lead byte followed by an ASCII start byte
+        blob = b"\xe7\x81\xab\n" + bad + b"\n"
+        server.run(io.BytesIO(blob), sink)
+        assert bad in seen
+
+    @pytest.mark.parametrize(
+        "bad",
+        [
+            b"\xc0\xaf",          # overlong 2-byte
+            b"\xe0\x80\xaf",      # overlong 3-byte
+            b"\xed\xa0\x80",      # UTF-16 surrogate
+            b"\xf0\x8f\xbf\xbf",  # overlong 4-byte
+            b"\xf5\x80\x80\x80",  # beyond U+10FFFF
+            b"\xff",              # invalid lead byte
+            b"\xe3\x81",          # truncated sequence
+        ],
+    )
+    def test_strict_decoder_parity(self, bundled_pred, bad):
+        """Everything Python's strict decoder rejects must be rejected by
+        both native tensorizers too (no silent mojibake on the lean path)."""
+        from vaporetto_tpu.native import tensorize16_native, tensorize_native
+
+        with pytest.raises(UnicodeDecodeError):
+            bad.decode("utf-8")
+        blob = np.frombuffer(bad, dtype=np.uint8)
+        starts = np.array([0], dtype=np.int64)
+        ends = np.array([len(bad)], dtype=np.int64)
+        assert tensorize16_native(blob, starts, ends, 8, None) is None
+        assert tensorize_native([bad], 8) is None

@@ -153,3 +153,37 @@ class TestBatchMatchesSingle:
             pred.predict(s)
             s.fill_tags()
             assert s.tags == sb.tags
+
+
+class TestUnpredictedSentences:
+    """A sentence that never ran through predict() has 0-length pma-state
+    arrays; in a mixed batch its states must still occupy len(s) slots of
+    the flat state stream (regression: misaligned states scored every
+    later sentence with the wrong stream / read past the buffer). Both
+    paths degrade it to bias-only scoring."""
+
+    def _mixed_batch(self, pred):
+        predicted = Sentence.from_raw("この人は地球人だ")
+        pred.predict(predicted)
+        gold_only = Sentence.from_tokenized("地球 人")
+        gold_only.set_predictor(pred)
+        return [gold_only, predicted]
+
+    def test_native_matches_python_on_mixed_batch(self):
+        pred_n = Predictor(create_test_model(), True)
+        if not _native_available(pred_n):
+            pytest.skip("native library unavailable")
+        pred_p = Predictor(create_test_model(), True)
+        pred_p._tag_scorer_obj = None  # force Python fallback
+        sn = self._mixed_batch(pred_n)
+        pred_n.predict_tags_batch(sn)
+        sp = self._mixed_batch(pred_p)
+        pred_p.predict_tags_batch(sp)
+        for a, b in zip(sn, sp):
+            assert a.tags == b.tags
+        # the predicted sentence's tags must be unaffected by the
+        # unpredicted sentence that precedes it in the flat stream
+        alone = Sentence.from_raw("この人は地球人だ")
+        pred_n.predict(alone)
+        alone.fill_tags()
+        assert sn[1].tags == alone.tags

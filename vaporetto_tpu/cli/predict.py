@@ -170,10 +170,20 @@ def _run_lean(args, predictor) -> int:
     out_b = sys.stdout.buffer
 
     def fallback(lines: List[bytes]) -> None:
+        # invalid UTF-8 aborts the run, as in the reference
+        # (predict/src/main.rs:128 `line?` on BufRead::lines) and the
+        # general path (strict text-mode stdin) — but only AFTER the
+        # batch's valid prefix has been predicted and written, so the
+        # abort point matches a line-by-line reader's
+        bad_utf8: Optional[UnicodeDecodeError] = None
         sentences: List[Optional[Sentence]] = []
         texts = []
         for raw in lines:
-            line = raw.decode("utf-8", errors="strict")
+            try:
+                line = raw.decode("utf-8", errors="strict")
+            except UnicodeDecodeError as e:
+                bad_utf8 = e
+                break
             texts.append(line)
             try:
                 text = line if args.no_norm else pre_filter.filter(line)
@@ -195,6 +205,9 @@ def _run_lean(args, predictor) -> int:
                 orig.boundaries = s.boundaries
             out_b.write(orig.write_tokenized_text().encode("utf-8"))
             out_b.write(b"\n")
+        if bad_utf8 is not None:
+            out_b.flush()
+            raise bad_utf8
 
     mesh = None
     if args.dp:

@@ -55,6 +55,11 @@ def main(argv: Optional[List[str]] = None) -> int:
     p.add_argument("--zstd-workers", type=int, default=0,
                    help="The number of zstd workers (multithreaded "
                    "compression; 0 = single-threaded).")
+    p.add_argument("--dp", type=int, default=0, metavar="N",
+                   help="Shard the solver's example matrix over an "
+                   "N-device data-parallel mesh (0 = single device). "
+                   "The TPU-native analogue of multi-core LIBLINEAR; "
+                   "gradients are psum-reduced by GSPMD.")
     args = p.parse_args(argv)
 
     if not args.tok and not args.part:
@@ -104,8 +109,14 @@ def main(argv: Optional[List[str]] = None) -> int:
         trainer.add_example(s)
     print(f"# of features: {trainer.n_features()}", file=sys.stderr)
 
+    mesh = None
+    if args.dp:
+        from ..parallel.mesh import make_mesh
+
+        mesh = make_mesh(args.dp)
+
     print("Start training...", file=sys.stderr)
-    model = trainer.train(args.eps, args.cost, args.solver)
+    model = trainer.train(args.eps, args.cost, args.solver, mesh=mesh)
     print("Finish training.", file=sys.stderr)
 
     with open(args.model, "wb") as f:

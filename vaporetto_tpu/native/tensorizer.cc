@@ -53,15 +53,24 @@ int vt_tensorize(const uint8_t* utf8, const int64_t* line_offsets,
         c = b0;
         p += 1;
       } else if ((b0 >> 5) == 0x6) {
-        if (end - p < 2) return 1;
+        if (end - p < 2 || b0 < 0xC2 || (p[1] & 0xC0) != 0x80) return 1;
         c = ((b0 & 0x1F) << 6) | (p[1] & 0x3F);
         p += 2;
       } else if ((b0 >> 4) == 0xE) {
-        if (end - p < 3) return 1;
+        if (end - p < 3 || (p[1] & 0xC0) != 0x80 || (p[2] & 0xC0) != 0x80)
+          return 1;
+        if ((b0 == 0xE0 && p[1] < 0xA0) || (b0 == 0xED && p[1] >= 0xA0))
+          return 1;
         c = ((b0 & 0x0F) << 12) | ((p[1] & 0x3F) << 6) | (p[2] & 0x3F);
         p += 3;
       } else if ((b0 >> 3) == 0x1E) {
-        if (end - p < 4) return 1;
+        if (end - p < 4 || (p[1] & 0xC0) != 0x80 || (p[2] & 0xC0) != 0x80 ||
+            (p[3] & 0xC0) != 0x80)
+          return 1;
+        // overlong (F0 80..8F) / beyond U+10FFFF (F4 90.. / F5..)
+        if ((b0 == 0xF0 && p[1] < 0x90) || b0 > 0xF4 ||
+            (b0 == 0xF4 && p[1] >= 0x90))
+          return 1;
         c = ((b0 & 0x07) << 18) | ((p[1] & 0x3F) << 12) |
             ((p[2] & 0x3F) << 6) | (p[3] & 0x3F);
         p += 4;
@@ -108,11 +117,18 @@ int vt_tensorize16(const uint8_t* utf8, const int64_t* starts,
         c = b0;
         p += 1;
       } else if ((b0 >> 5) == 0x6) {
-        if (end - p < 2) return 1;
+        // b0 < 0xC2 rejects overlong 2-byte forms (strict-decoder parity)
+        if (end - p < 2 || b0 < 0xC2 || (p[1] & 0xC0) != 0x80) return 1;
         c = ((b0 & 0x1F) << 6) | (p[1] & 0x3F);
         p += 2;
       } else if ((b0 >> 4) == 0xE) {
-        if (end - p < 3) return 1;
+        if (end - p < 3 || (p[1] & 0xC0) != 0x80 || (p[2] & 0xC0) != 0x80)
+          return 1;
+        // overlong (E0 80..9F) and UTF-16 surrogates (ED A0..BF) are
+        // invalid — Python's strict decoder (the general path) rejects
+        // them, so the lean path must not silently accept them
+        if ((b0 == 0xE0 && p[1] < 0xA0) || (b0 == 0xED && p[1] >= 0xA0))
+          return 1;
         c = ((b0 & 0x0F) << 12) | ((p[1] & 0x3F) << 6) | (p[2] & 0x3F);
         p += 3;
       } else if ((b0 >> 3) == 0x1E) {

@@ -66,43 +66,17 @@ def train_step_dryrun(mesh, axis: str = "dp") -> None:
     the cross-device reduction for the `segment_sum` gradient — the exact
     collective layout of multi-host training.
     """
-    import jax
-    from jax.sharding import NamedSharding, PartitionSpec as P
-
-    from ..train.solver import _fista
+    from ..train.solver import train_binary
 
     n = mesh.devices.size
     N, K, D = 8 * n, 8, 30
     rng = np.random.default_rng(0)
     idx = rng.integers(1, D + 1, size=(N, K)).astype(np.int32)
-    idx[:, -1] = D + 1  # bias feature
     val = np.ones((N, K), dtype=np.float32)
     y = np.where(rng.random(N) > 0.5, 1.0, -1.0).astype(np.float32)
-    mask = np.ones(N, dtype=np.float32)
 
-    data_sharding = NamedSharding(mesh, P(axis, None))
-    vec_sharding = NamedSharding(mesh, P(axis))
-
-    with jax.sharding.use_mesh(mesh) if hasattr(jax.sharding, "use_mesh") else _null():
-        w = _fista(
-            jax.device_put(idx, data_sharding),
-            jax.device_put(val, data_sharding),
-            jax.device_put(y, vec_sharding),
-            jax.device_put(mask, vec_sharding),
-            64,  # n_dim (padded)
-            1.0,
-            0.01,
-            0,  # logistic
-            False,
-            max_iter=25,
-        )
-        jax.block_until_ready(w)
-    assert w.shape == (64,)
-
-
-class _null:
-    def __enter__(self):
-        return self
-
-    def __exit__(self, *a):
-        return False
+    # the user-reachable sharded path (train CLI --dp): example matrix
+    # sharded on the dp axis, GSPMD-reduced gradients
+    w, bias = train_binary(idx, val, y, D, 1.0, 0.01, 0, max_iter=25,
+                           mesh=mesh)
+    assert w.shape == (D,)

@@ -454,15 +454,18 @@ class Predictor:
         )
 
         def flat_states(attr):
-            return np.concatenate(
-                [
-                    getattr(s, attr)
-                    if getattr(s, attr) is not None
-                    else np.full(len(s), -1, dtype=np.int64)
-                    for s in sentences
-                ]
-                or [empty32]
-            )
+            # a sentence that never ran through predict() has a 0-length
+            # (or stale-length) state array; it must still occupy len(s)
+            # slots in the flat stream or every later sentence's states
+            # misalign — fill with -1 ("no match state" -> bias-only
+            # scoring, same degradation as the pure-Python path)
+            parts = []
+            for s in sentences:
+                st = getattr(s, attr)
+                if st is None or len(st) != len(s):
+                    st = np.full(len(s), -1, dtype=np.int32)
+                parts.append(st)
+            return np.concatenate(parts or [empty32])
 
         char_states = flat_states("char_pma_states") if native.has_char else None
         type_states = flat_states("type_pma_states") if native.has_type else None

@@ -92,16 +92,12 @@ class LeanServer:
 
     # ------------------------------------------------------------------
 
-    def _dispatch(self, blob, starts, ends, n_valid):
+    def _dispatch(self, blob, csum, starts, ends, n_valid):
         """Tensorize + dispatch one group; returns the pending tuple or
-        None if the group needs the general path."""
+        None if the group needs the general path. ``csum`` is the chunk's
+        char-start cumsum (computed once per read chunk in run())."""
         from .native import tensorize16_native
 
-        # exact per-line char counts in one vectorized pass (UTF-8 char
-        # starts are the non-continuation bytes)
-        is_start = ((blob & 0xC0) != 0x80).astype(np.int64)
-        csum = np.zeros(len(blob) + 1, dtype=np.int64)
-        np.cumsum(is_start, out=csum[1:])
         counts = csum[ends] - csum[starts]
         max_chars = int(counts.max(initial=0))
         if max_chars > self.predictor.LONG_SENTENCE_THRESHOLD:
@@ -168,6 +164,16 @@ class LeanServer:
             starts[0] = 0
             starts[1:] = nl[:-1] + 1
             ends = nl
+            # strip a trailing '\r' (CRLF input) from each line, matching
+            # the general path's universal-newline stdin and the
+            # reference's BufRead::lines (both strip "\r\n")
+            has_cr = (ends > starts) & (blob[np.maximum(ends - 1, 0)] == 0x0D)
+            ends = ends - has_cr.astype(np.int64)
+            # per-line char counts come from one cumsum over the chunk
+            # (UTF-8 char starts are the non-continuation bytes)
+            is_start = ((blob & 0xC0) != 0x80).astype(np.int64)
+            csum = np.zeros(len(blob) + 1, dtype=np.int64)
+            np.cumsum(is_start, out=csum[1:])
             B = self.batch_lines
             n = len(nl)
             for g in range(0, n, B):
@@ -178,7 +184,7 @@ class LeanServer:
                     pad = np.zeros(B - (hi - g), dtype=np.int64)
                     gs = np.concatenate((gs, pad))
                     ge = np.concatenate((ge, pad))
-                done = self._dispatch(blob, gs, ge, hi - g)
+                done = self._dispatch(blob, csum, gs, ge, hi - g)
                 if done is None:
                     if pending is not None:
                         self._realize(pending, out)

@@ -196,6 +196,40 @@ def _fista(
     return w
 
 
+class _null_ctx:
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *a):
+        return False
+
+
+def _shard_examples(mesh, idx_p, val_p, y_p, mask):
+    """Place the padded example arrays sharded on the mesh's ``dp`` axis
+    (weights stay replicated); GSPMD inserts the cross-device reduction
+    for the ``segment_sum`` gradient — the multi-host trainer collective
+    layout (SURVEY.md §2.4)."""
+    import jax
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    data = NamedSharding(mesh, P("dp", None))
+    vec = NamedSharding(mesh, P("dp"))
+    return (
+        jax.device_put(idx_p, data),
+        jax.device_put(val_p, data),
+        jax.device_put(y_p, vec),
+        jax.device_put(mask, vec),
+    )
+
+
+def _use_mesh(mesh):
+    import jax
+
+    if mesh is not None and hasattr(jax.sharding, "use_mesh"):
+        return jax.sharding.use_mesh(mesh)
+    return _null_ctx()
+
+
 def train_binary(
     idx: np.ndarray,
     val: np.ndarray,
@@ -205,8 +239,15 @@ def train_binary(
     eps: float,
     solver: int,
     max_iter: int = 2000,
+    mesh=None,
 ) -> Tuple[np.ndarray, float]:
-    """Train one binary classifier; returns (weights[1..=D], bias)."""
+    """Train one binary classifier; returns (weights[1..=D], bias).
+
+    With ``mesh`` (a ``jax.sharding.Mesh`` with a ``dp`` axis), the example
+    arrays are sharded over the mesh's devices and the FISTA solve runs
+    data-parallel — the TPU-native analogue of LIBLINEAR multi-core, and
+    the multi-host training path.
+    """
     loss_kind = solver_loss_kind(solver)
     l1 = solver_is_l1(solver)
     # n_dim is also padded to a power of two (unused slots stay zero)
@@ -216,6 +257,10 @@ def train_binary(
     n = len(y_pm)
     n_pad = max(8, 1 << (n - 1).bit_length())
     k_pad = max(8, 1 << (idx.shape[1] - 1).bit_length())
+    if mesh is not None:
+        # example rows must divide evenly over the data-parallel axis
+        ndev = int(np.prod(mesh.devices.shape))
+        n_pad = ((n_pad + ndev - 1) // ndev) * ndev
     idx_p = np.zeros((n_pad, k_pad), dtype=np.int32)
     val_p = np.zeros((n_pad, k_pad), dtype=np.float32)
     idx_p[:n, : idx.shape[1]] = idx
@@ -224,7 +269,18 @@ def train_binary(
     y_p[:n] = y_pm
     mask = np.zeros(n_pad, dtype=np.float32)
     mask[:n] = 1.0
-    w = _fista(
+    if mesh is not None:
+        idx_p, val_p, y_p, mask = _shard_examples(mesh, idx_p, val_p, y_p, mask)
+    with _use_mesh(mesh):
+        w = _do_fista(idx_p, val_p, y_p, mask, n_dim, cost, eps, loss_kind,
+                      l1, max_iter)
+    w = np.asarray(w, dtype=np.float64)
+    return w[1 : n_features + 1], float(w[n_features + 1])
+
+
+def _do_fista(idx_p, val_p, y_p, mask, n_dim, cost, eps, loss_kind, l1,
+              max_iter):
+    return _fista(
         jnp.asarray(idx_p),
         jnp.asarray(val_p),
         jnp.asarray(y_p),
@@ -236,8 +292,6 @@ def train_binary(
         l1,
         max_iter,
     )
-    w = np.asarray(w, dtype=np.float64)
-    return w[1 : n_features + 1], float(w[n_features + 1])
 
 
 def train_one_vs_rest(
@@ -250,6 +304,7 @@ def train_one_vs_rest(
     eps: float,
     solver: int,
     max_iter: int = 2000,
+    mesh=None,
 ) -> Tuple[np.ndarray, np.ndarray]:
     """One-vs-rest training; returns (W[C, D], biases[C]).
 
@@ -262,13 +317,14 @@ def train_one_vs_rest(
     if n_classes == 2:
         y_pm = np.where(labels == 0, 1.0, -1.0)
         w, b = train_binary(idx, val, y_pm, n_features, cost, eps, solver,
-                            max_iter)
+                            max_iter, mesh=mesh)
         W[0], biases[0] = w, b
         W[1], biases[1] = -w, -b
         return W, biases
     for c in range(n_classes):
         y_pm = np.where(labels == c, 1.0, -1.0)
         W[c], biases[c] = train_binary(
-            idx, val, y_pm, n_features, cost, eps, solver, max_iter
+            idx, val, y_pm, n_features, cost, eps, solver, max_iter,
+            mesh=mesh
         )
     return W, biases

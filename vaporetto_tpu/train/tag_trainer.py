@@ -83,6 +83,7 @@ class TagTrainer:
         epsilon: float,
         cost: float,
         solver: int,
+        mesh=None,
     ) -> TagModel:
         n_tags = max((len(t) for t, _ in examples), default=0)
         tag_ids: List[Dict[str, int]] = [dict() for _ in range(n_tags)]
@@ -129,7 +130,8 @@ class TagTrainer:
                 idx[r, len(x)] = D + 1
                 val[r, len(x)] = 1.0
             W, biases = train_one_vs_rest(
-                idx, val, np.asarray(ys), len(ids), D, cost, epsilon, solver
+                idx, val, np.asarray(ys), len(ids), D, cost, epsilon, solver,
+                mesh=mesh,
             )
 
             weight_max = 1e-6
@@ -168,7 +170,8 @@ class TagTrainer:
             bias,
         )
 
-    def train(self, epsilon: float, cost: float, solver: int) -> List[TagModel]:
+    def train(self, epsilon: float, cost: float, solver: int,
+              mesh=None) -> List[TagModel]:
         for token, tags in self.default_tags.items():
             if any(t is not None for t in tags) and token not in self.examples:
                 self.examples[token] = [(list(tags), [])]
@@ -177,7 +180,8 @@ class TagTrainer:
         n_tokens = len(items)
         for i, (token, examples) in enumerate(items):
             tag_models.append(
-                self._train_tag(token, examples, epsilon, cost, solver)
+                self._train_tag(token, examples, epsilon, cost, solver,
+                                mesh=mesh)
             )
             if i % 50 == 0:
                 print(f"Tags: {i}/{n_tokens}", end="\r", file=sys.stderr)

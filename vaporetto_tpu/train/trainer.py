@@ -182,7 +182,8 @@ class Trainer:
     # training (trainer.rs:352-487)
     # ------------------------------------------------------------------
 
-    def train(self, epsilon: float, cost: float, solver: int) -> Model:
+    def train(self, epsilon: float, cost: float, solver: int,
+              mesh=None) -> Model:
         if self._native is not None:
             if self._native.n_examples == 0:
                 raise invalid_argument("trainer", "no training examples")
@@ -217,7 +218,8 @@ class Trainer:
             ys = np.asarray(self.ys)
             feature_items = list(self.feature_ids.items())
         y_pm = np.where(ys == 1, 1.0, -1.0)  # WordBoundary one-vs-rest
-        w, bias_raw = train_binary(idx, val, y_pm, D, cost, epsilon, solver)
+        w, bias_raw = train_binary(idx, val, y_pm, D, cost, epsilon, solver,
+                                   mesh=mesh)
 
         weight_max = max(abs(bias_raw), float(np.abs(w).max()) if D else 0.0)
         quantize_multiplier = weight_max / ((1 << (QUANTIZE_BIT_DEPTH - 1)) - 1)
@@ -259,7 +261,7 @@ class Trainer:
                 else:
                     slot[2] = weight
 
-        tag_models = self.tag_trainer.train(epsilon, cost, solver)
+        tag_models = self.tag_trainer.train(epsilon, cost, solver, mesh=mesh)
 
         dict_records = []
         for word in self.dict_words:
