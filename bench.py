@@ -183,7 +183,13 @@ def _measure() -> int:
     model = Model.read(model_path)
     pred = Predictor(model, predict_tags=False)
 
-    B, L = 8192, 256  # ~2M chars per batch
+    # Two batch shapes: (8192, 256) is the long-cached known-good shape
+    # (measured FIRST so its JSON is emitted even if later phases wedge);
+    # (32768, 256) puts step time ~100 us, well above dispatch overhead,
+    # for trustworthy bandwidth numbers (at 8192 a step is ~25 us and the
+    # serialized chain is partly dispatch-latency-bound). The larger
+    # measurement overrides the primary value when it completes.
+    B_SMALL, B_BIG, L = 8192, 32768, 256
     rng = np.random.default_rng(42)
     pools = np.concatenate([
         np.arange(0x3041, 0x3097),  # hiragana
@@ -191,42 +197,89 @@ def _measure() -> int:
         np.arange(0x4E00, 0x5000),  # kanji
         np.arange(0x30, 0x3A),      # digits
     ]).astype(np.int32)
-    cps = pools[rng.integers(0, len(pools), size=(B, L))].astype(np.int32)
+    cps = pools[rng.integers(0, len(pools), size=(B_BIG, L))].astype(np.int32)
     cts = char_types_of_codepoints(cps).astype(np.int32)  # host-side
-    lengths = np.full(B, L, dtype=np.int32)
-
-    print("phase: full fn", file=sys.stderr, flush=True)
-    fn = pred._predict_fn(B, L)
-    cps_d = jax.device_put(cps)
-    cts_d = jax.device_put(cts)
-    len_d = jax.device_put(lengths)
-
-    # warm up / compile (block_until_ready does not trigger a readback)
-    out = fn(cps_d, cts_d, len_d)
-    jax.block_until_ready(out)
-
-    n_iter = 100
-    t0 = time.perf_counter()
-    for _ in range(n_iter):
-        out = fn(cps_d, cts_d, len_d)
-    jax.block_until_ready(out)
-    dt = time.perf_counter() - t0
-    chars_per_sec = B * L * n_iter / dt
-    mb_per_sec = chars_per_sec * BYTES_PER_CHAR_UTF8 / 1e6
-
-    # ---- lean serving kernel: sustained + measured HBM roofline --------
-    print("phase: serve fn", file=sys.stderr, flush=True)
-    serve = pred.serve_boundaries_fn()
+    lengths = np.full(B_BIG, L, dtype=np.int32)
     cps16 = cps.astype(np.uint16)
-    scps_d = jax.device_put(cps16)
-    sout = serve(scps_d, len_d)
-    jax.block_until_ready(sout)
-    t0 = time.perf_counter()
-    for _ in range(n_iter):
-        sout = serve(scps_d, len_d)
-    jax.block_until_ready(sout)
-    serve_dt = time.perf_counter() - t0
-    serve_chars_s = B * L * n_iter / serve_dt
+
+    # Timing honesty: the iteration loop runs INSIDE one jitted program
+    # (lax.fori_loop), so the whole measurement costs ONE host<->device
+    # round trip — on this tunnel a dispatch round trip is ~15 ms on bad
+    # days, which a host-side loop would measure instead of bandwidth.
+    # Each iteration's inputs pass through lax.optimization_barrier tied
+    # to the previous iteration's full output array, so XLA can neither
+    # hoist the loop-invariant scoring out of the loop nor overlap or
+    # dead-code-eliminate iterations.
+    # The per-iteration cost is isolated by differencing two trip counts
+    # (n_hi - n_lo iterations), cancelling the round trip and any fixed
+    # launch overhead; the loop bound is a traced argument (one compile).
+    import jax.numpy as jnp
+    from jax import lax
+
+    traced, tbls = pred.predict_traced_fn()
+    serve_fn, serve_tbls = pred.serve_traced_fn()
+    serve = pred.serve_boundaries_fn()  # for the e2e phase
+
+    # The carry is the FULL output array of the previous iteration,
+    # passed through the barrier that gates the next iteration's input:
+    # every output element is live, so XLA can neither dead-code-eliminate
+    # the pipeline down to a scalar's dependency cone (a carry of
+    # scores[0,0] once produced a "58 PB/s" reading) nor hoist the
+    # loop-invariant work (the barrier makes the input loop-variant).
+    @jax.jit
+    def full_loop(cps, cts, lengths, tables, n):
+        S = pred.compiled.pad_left + (cps.shape[1] - 1) + \
+            pred.compiled.pad_right
+
+        def body(i, carry):
+            cps_b, _ = lax.optimization_barrier((cps, carry))
+            scores, _, _ = traced(cps_b, cts, lengths, tables)
+            return scores
+
+        init = jnp.zeros((cps.shape[0], S), dtype=jnp.int32)
+        return lax.fori_loop(0, n, body, init)
+
+    @jax.jit
+    def serve_loop(cps, lengths, tables, n):
+        def body(i, carry):
+            cps_b, _ = lax.optimization_barrier((cps, carry))
+            return serve_fn(cps_b, lengths, tables)
+
+        init = jnp.zeros((cps.shape[0], cps.shape[1] - 1), dtype=jnp.int8)
+        return lax.fori_loop(0, n, body, init)
+
+    N_LO, N_HI = 20, 220
+
+    def timed_loops(loop, args):
+        jax.block_until_ready(loop(*args, 1))  # warm-up / compile
+        best = None
+        for _ in range(3):
+            t0 = time.perf_counter()
+            jax.block_until_ready(loop(*args, N_LO))
+            t_lo = time.perf_counter() - t0
+            t0 = time.perf_counter()
+            jax.block_until_ready(loop(*args, N_HI))
+            t_hi = time.perf_counter() - t0
+            d = t_hi - t_lo
+            if d > 0 and (best is None or d < best):
+                best = d
+        if best is None:  # degenerate timing; fall back to the big run
+            best = t_hi
+        return best / (N_HI - N_LO)
+
+    def bandwidth_at(B):
+        print(f"phase: full fn B={B}", file=sys.stderr, flush=True)
+        cps_d = jax.device_put(cps[:B])
+        cts_d = jax.device_put(cts[:B])
+        len_d = jax.device_put(lengths[:B])
+        step_s = timed_loops(full_loop, (cps_d, cts_d, len_d, tbls))
+
+        print(f"phase: serve fn B={B}", file=sys.stderr, flush=True)
+        scps_d = jax.device_put(cps16[:B])
+        serve_step_s = timed_loops(
+            serve_loop, (scps_d, len_d, serve_tbls)
+        )
+        return B * L / step_s, B * L / serve_step_s
 
     # ---- measured HBM roofline fraction -------------------------------
     # Methodology: the pipeline's unavoidable DRAM traffic per character
@@ -245,25 +298,110 @@ def _measure() -> int:
         if kind.startswith(k):
             peak = p
             break
-    full_gb_s = chars_per_sec * full_bytes_per_char / 1e9
-    serve_gb_s = serve_chars_s * serve_bytes_per_char / 1e9
-    extra = {
-        "serve_kernel_gchars_per_s": round(serve_chars_s / 1e9, 2),
-        "hbm_gb_per_s": round(full_gb_s, 1),
-        "hbm_roofline_fraction": (
-            round(full_gb_s / peak, 3) if peak else None
-        ),
-        "serve_hbm_gb_per_s": round(serve_gb_s, 1),
-        "serve_hbm_roofline_fraction": (
-            round(serve_gb_s / peak, 3) if peak else None
-        ),
-        "device_kind": kind,
-        "e2e_steady_mchars_per_s": None,
-        "e2e_cli_mchars_per_s": None,
-    }
-    # partial result BEFORE any readback-dependent phase: a tunnel wedge
-    # below can only cost the e2e fields
-    _emit(mb_per_sec, chars_per_sec, extra)
+
+    def emit_for(chars_per_sec, serve_chars_s, B, extra_prev=None,
+                 timing="serialized-loop"):
+        full_gb_s = chars_per_sec * full_bytes_per_char / 1e9
+        serve_gb_s = serve_chars_s * serve_bytes_per_char / 1e9
+        extra = dict(extra_prev or {
+            "e2e_steady_mchars_per_s": None,
+            "e2e_cli_mchars_per_s": None,
+        })
+        extra.update({
+            "batch_shape": [B, L],
+            "serve_kernel_gchars_per_s": round(serve_chars_s / 1e9, 2),
+            "hbm_gb_per_s": round(full_gb_s, 1),
+            "hbm_roofline_fraction": (
+                round(full_gb_s / peak, 3) if peak else None
+            ),
+            "serve_hbm_gb_per_s": round(serve_gb_s, 1),
+            "serve_hbm_roofline_fraction": (
+                round(serve_gb_s / peak, 3) if peak else None
+            ),
+            "device_kind": kind,
+            "timing": timing,
+        })
+        mb_per_sec = chars_per_sec * BYTES_PER_CHAR_UTF8 / 1e6
+        _emit(mb_per_sec, chars_per_sec, extra)
+        return mb_per_sec, extra
+
+    chars_per_sec = serve_chars_s = mb_per_sec = None
+    extra = None
+
+    # phase 0 hedge: the plain (8192, 256) programs are in the persistent
+    # compile cache from day one — a quick host-side pipelined loop on
+    # them emits a first JSON before ANY new compile is attempted, so a
+    # remote-compile wedge in the loop programs can never leave the run
+    # empty-handed. (Pipelined timing can overlap dispatches — the
+    # loop-based phases below override it with serialized numbers.)
+    try:
+        fn0 = pred._predict_fn(B_SMALL, L)
+        a0 = (jax.device_put(cps[:B_SMALL]), jax.device_put(cts[:B_SMALL]),
+              jax.device_put(lengths[:B_SMALL]))
+        jax.block_until_ready(fn0(*a0))
+        t0 = time.perf_counter()
+        out0 = None
+        for _ in range(50):
+            out0 = fn0(*a0)
+        jax.block_until_ready(out0)
+        dt0 = time.perf_counter() - t0
+        s0 = serve(jax.device_put(cps16[:B_SMALL]),
+                   jax.device_put(lengths[:B_SMALL]))
+        jax.block_until_ready(s0)
+        t0 = time.perf_counter()
+        for _ in range(50):
+            s0 = serve(jax.device_put(cps16[:B_SMALL]),
+                       jax.device_put(lengths[:B_SMALL]))
+        jax.block_until_ready(s0)
+        sdt0 = time.perf_counter() - t0
+        mb_per_sec, extra = emit_for(
+            B_SMALL * L * 50 / dt0, B_SMALL * L * 50 / sdt0, B_SMALL,
+            timing="pipelined",
+        )
+    except Exception as e:
+        print(f"phase-0 hedge unavailable: {e}", file=sys.stderr)
+
+    def _physical(chars_s, bytes_per_char, peak_gb):
+        # a bandwidth claim above ~1.05x the chip's peak HBM bytes/s is a
+        # measurement artifact, never a result
+        return (peak_gb is None
+                or chars_s * bytes_per_char / 1e9 <= 1.05 * peak_gb)
+
+    # known-good cached shape first: its JSON survives any later wedge
+    small_chars_s, small_serve_s = bandwidth_at(B_SMALL)
+    if _physical(small_chars_s, full_bytes_per_char, peak):
+        chars_per_sec, serve_chars_s = small_chars_s, small_serve_s
+        mb_per_sec, extra = emit_for(chars_per_sec, serve_chars_s, B_SMALL)
+    else:
+        print(f"small-batch serialized numbers non-physical "
+              f"({small_chars_s / 1e9:.1f} Gchar/s); keeping hedge",
+              file=sys.stderr)
+    if extra is None:  # hedge unavailable AND small numbers rejected:
+        # emit the suspect numbers rather than nothing, flagged as such
+        chars_per_sec, serve_chars_s = small_chars_s, small_serve_s
+        mb_per_sec, extra = emit_for(
+            small_chars_s, small_serve_s, B_SMALL,
+            timing="serialized-loop-SUSPECT",
+        )
+
+    # dispatch-amortized shape; overrides the primary value on success
+    try:
+        big_chars_s, big_serve_s = bandwidth_at(B_BIG)
+        if _physical(big_chars_s, full_bytes_per_char, peak):
+            chars_per_sec, serve_chars_s = big_chars_s, big_serve_s
+            mb_per_sec, extra = emit_for(
+                big_chars_s, big_serve_s, B_BIG, extra
+            )
+        else:
+            print(f"large-batch numbers non-physical "
+                  f"({big_chars_s / 1e9:.1f} Gchar/s); keeping previous",
+                  file=sys.stderr)
+    except Exception as e:
+        print(f"large-batch phase unavailable: {e}", file=sys.stderr)
+
+    B = B_SMALL  # e2e phases run on the cached small shape
+    len_d = jax.device_put(lengths[:B])
+    sout = serve(jax.device_put(cps16[:B]), len_d)
 
     # ---- in-process steady-state e2e (pays the first-readback tax once)
     print("phase: first readback (minutes on this tunnel)",
@@ -283,7 +421,7 @@ def _measure() -> int:
     starts[1:] = nl[:-1] + 1
     ends = nl
     n_chars_batch = 200 * B
-    reps = 8
+    reps = 4  # ~6.5M chars; enough for steady state, bounded on bad days
     t0 = time.perf_counter()
     for _ in range(reps):
         bcps, blens = tensorize16_native(blob, starts, ends, 256)

@@ -116,3 +116,37 @@ class TestHostPredictor:
         assert revived._host() is not None
         s.fill_tags()
         assert s.write_tokenized_text() == expected
+
+
+class TestScratchReuse:
+    """predict_batch returns views into reused per-instance scratch
+    buffers (the page-fault-churn fix): results must be correct on every
+    call, and the predictor-level API must copy what it keeps."""
+
+    def test_repeated_calls_stay_correct(self):
+        pred = Predictor(Model.read(MODEL_BIN), False, backend="host")
+        host = pred._host()
+        if host is None:
+            pytest.skip("native library unavailable")
+        texts = ["まぁ社長は火星猫だ", "火星猫だ", "まぁ良いだろう"]
+        sents = [Sentence.from_raw(t) for t in texts]
+        expected = []
+        for s in sents:
+            r = host.predict_batch([s.codepoints], [s.char_types])
+            expected.append(r[0][: int(r[1][1])].copy())
+        # interleaved calls of different sizes over the same instance
+        for _ in range(3):
+            for s, exp in zip(sents, expected):
+                r = host.predict_batch([s.codepoints], [s.char_types])
+                assert (r[0][: len(exp)] == exp).all()
+
+    def test_predictor_results_survive_later_calls(self):
+        pred = Predictor(Model.read(MODEL_BIN), False, backend="host")
+        if pred._host() is None:
+            pytest.skip("native library unavailable")
+        a = Sentence.from_raw("まぁ社長は火星猫だ")
+        pred.predict(a)
+        scores_a = a.boundary_scores.copy()
+        b = Sentence.from_raw("まぁ良いだろう")
+        pred.predict(b)  # overwrites the scratch buffers
+        assert (a.boundary_scores == scores_a).all()

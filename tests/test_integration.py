@@ -195,3 +195,34 @@ class TestCLI:
         assert out.returncode == 0, out.stderr
         m = Model.read(str(out_model))
         assert m.char_ngram_model
+
+
+class TestLineSemantics:
+    """Reference BufRead::lines parity: '\n' is the only line terminator
+    (a lone '\r' stays inside the line); one trailing '\r' is stripped
+    (CRLF corpora). Both CLI paths must agree."""
+
+    def _run(self, extra, data: bytes) -> bytes:
+        out = subprocess.run(
+            [sys.executable, "-m", "vaporetto_tpu.cli.predict",
+             "--model", MODEL_BIN, *extra],
+            input=data, capture_output=True, timeout=560,
+            env={"PATH": "/usr/bin:/bin", "JAX_PLATFORMS": "cpu",
+                 "PYTHONPATH": "/root/repo", "HOME": "/root"},
+        )
+        assert out.returncode == 0, out.stderr.decode()
+        return out.stdout
+
+    def test_lone_cr_is_not_a_line_break(self):
+        data = "火星\r猫\n".encode("utf-8")
+        for extra in (["--no-lean"], []):
+            stdout = self._run(extra, data)
+            assert stdout.count(b"\n") == 1, (extra, stdout)
+            assert b"\r" in stdout  # the CR stays inside the line
+
+    def test_crlf_both_paths_identical(self):
+        data = "まぁ社長は火星猫だ\r\nまぁ良いだろう\r\n".encode("utf-8")
+        a = self._run([], data)
+        b = self._run(["--no-lean"], data)
+        assert a == b
+        assert b"\r" not in a

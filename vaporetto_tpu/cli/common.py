@@ -37,3 +37,21 @@ def build_post_filters(wsconst_values: List[str]):
         else:
             raise SystemExit(f"error: could not parse a wsconst value: {w!r}")
     return filters
+
+
+def iter_lines(f):
+    """Iterate lines of a text stream with the reference's line semantics
+    (BufRead::lines, e.g. predict/src/main.rs:126-128): split on '\n'
+    only — a lone '\r' is NOT a line terminator — and strip one trailing
+    "\r" per line (CRLF). Python's universal-newline text mode would
+    split on lone '\r' too, so the stream is reconfigured when possible.
+    """
+    try:
+        f.reconfigure(newline="\n")
+    except (AttributeError, OSError):
+        pass  # not a reconfigurable TextIOWrapper (e.g. a test StringIO)
+    for line in f:
+        line = line.rstrip("\n")
+        if line.endswith("\r"):
+            line = line[:-1]
+        yield line

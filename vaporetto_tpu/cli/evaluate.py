@@ -16,7 +16,7 @@ from ..models.model import Model
 from ..predictor import Predictor
 from ..rules import KyteaFullwidthFilter
 from ..sentence import Sentence
-from .common import WSCONST_HELP, build_post_filters
+from .common import WSCONST_HELP, build_post_filters, iter_lines
 
 BATCH = 256
 
@@ -59,8 +59,7 @@ def main(argv: Optional[List[str]] = None) -> int:
             results.append((ref_b, ref_t, sys_b, sys_t))
         pending.clear()
 
-    for line in sys.stdin:
-        line = line.rstrip("\n")
+    for line in iter_lines(sys.stdin):
         if not line:
             continue
         s = Sentence.from_tokenized(line)

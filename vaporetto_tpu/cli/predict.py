@@ -23,7 +23,7 @@ from ..models.model import Model
 from ..predictor import Predictor
 from ..rules import KyteaFullwidthFilter
 from ..sentence import Sentence
-from .common import WSCONST_HELP, build_post_filters
+from .common import WSCONST_HELP, build_post_filters, iter_lines
 
 BATCH = 256
 
@@ -143,8 +143,8 @@ def main(argv: Optional[List[str]] = None) -> int:
 
     batch: List[str] = []
     batch_size = args.batch_size or BATCH
-    for line in sys.stdin:
-        batch.append(line.rstrip("\n"))
+    for line in iter_lines(sys.stdin):
+        batch.append(line)
         if len(batch) >= batch_size:
             flush_batch(batch)
             batch = []

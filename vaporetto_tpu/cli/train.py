@@ -13,6 +13,7 @@ import sys
 from typing import List, Optional
 
 from ..rules import KyteaFullwidthFilter
+from .common import iter_lines
 from ..sentence import Sentence
 from ..train.trainer import SolverType, Trainer
 
@@ -72,16 +73,14 @@ def main(argv: Optional[List[str]] = None) -> int:
     for path in args.tok:
         print(f"Loading {path} ...", file=sys.stderr)
         with open(path) as f:
-            for line in f:
-                line = line.rstrip("\n")
+            for line in iter_lines(f):
                 s = Sentence.from_tokenized(line)
                 train_sents.append(_normalized(s, fullwidth, args.no_norm))
         print(f"# of sentences: {len(train_sents)}", file=sys.stderr)
     for path in args.part:
         print(f"Loading {path} ...", file=sys.stderr)
         with open(path) as f:
-            for line in f:
-                line = line.rstrip("\n")
+            for line in iter_lines(f):
                 s = Sentence.from_partial_annotation(line)
                 train_sents.append(_normalized(s, fullwidth, args.no_norm))
         print(f"# of sentences: {len(train_sents)}", file=sys.stderr)
@@ -91,8 +90,7 @@ def main(argv: Optional[List[str]] = None) -> int:
     for path in args.dict:
         print(f"Loading {path} ...", file=sys.stderr)
         with open(path) as f:
-            for line in f:
-                line = line.rstrip("\n")
+            for line in iter_lines(f):
                 s = Sentence.from_tokenized(line)
                 s = _normalized(s, fullwidth, args.no_norm)
                 for token in s.iter_tokens():

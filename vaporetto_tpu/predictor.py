@@ -165,6 +165,37 @@ class Predictor:
         is ~3 B/char vs the full path's ~16 B/char.
         """
         import jax
+
+        fn, tables = self.serve_traced_fn(wsconst_types)
+
+        if mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            batch_sh = NamedSharding(mesh, P(mesh_axis, None))
+            vec_sh = NamedSharding(mesh, P(mesh_axis))
+            rep = NamedSharding(mesh, P())
+            table_sh = jax.tree.map(lambda _: rep, tables)
+            jitted = jax.jit(
+                fn,
+                in_shardings=(batch_sh, vec_sh, table_sh),
+                out_shardings=batch_sh,
+            )
+            tables = jax.device_put(tables, table_sh)
+        else:
+            jitted = jax.jit(fn)
+
+        def wrapper(cps, lengths):
+            return jitted(cps, lengths, tables)
+
+        return wrapper
+
+    def serve_traced_fn(self, wsconst_types: Tuple[int, ...] = ()):
+        """The unjitted serving function and its table pytree:
+        ``fn(cps, lengths, tables) -> int8 (B, L-1)`` (see
+        :meth:`serve_boundaries_fn`). Tables are passed as arguments so
+        callers control jit/sharding/loop composition (the benchmark
+        harness scans this inside one program)."""
+        import jax
         import jax.numpy as jnp
 
         from .sentence import _CHAR_TYPE_TABLE_SMALL, CharacterType
@@ -210,26 +241,7 @@ class Predictor:
             gaps = gaps & (t_idx < (lengths[:, None] - 1))
             return gaps.astype(jnp.int8)
 
-        if mesh is not None:
-            from jax.sharding import NamedSharding, PartitionSpec as P
-
-            batch_sh = NamedSharding(mesh, P(mesh_axis, None))
-            vec_sh = NamedSharding(mesh, P(mesh_axis))
-            rep = NamedSharding(mesh, P())
-            table_sh = jax.tree.map(lambda _: rep, tables)
-            jitted = jax.jit(
-                fn,
-                in_shardings=(batch_sh, vec_sh, table_sh),
-                out_shardings=batch_sh,
-            )
-            tables = jax.device_put(tables, table_sh)
-        else:
-            jitted = jax.jit(fn)
-
-        def wrapper(cps, lengths):
-            return jitted(cps, lengths, tables)
-
-        return wrapper
+        return fn, tables
 
     def predict_raw_fn(self):
         """The raw (unjitted) batch predict function over device tables.
