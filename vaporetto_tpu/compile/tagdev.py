@@ -1,0 +1,260 @@
+"""Device tag-scoring tables — the tag pass as gathers + segment-argmax.
+
+The reference scores tags per recognized token on the CPU: walk the fixed
+boundaries, look the token surface up in a hash map, sum bias + char-side
++ type-side weights keyed by (cached PMA state, relative position), and
+argmax per tag slot (predictor.rs:546-637, boundary_tag_scorer.rs:153-174,
+TagPredictor::predict predictor.rs:286-304). Until round 2 this repo ran
+that pass host-side (C++); the match-state tensors it consumes were
+already computed ON DEVICE and thrown away. This module packs the tag
+lookup into dense device tables so the whole pass stays on the TPU:
+
+* token recognition = a reversed-surface double-array trie walk: for each
+  position ``e`` the walk over ``cps[e], cps[e-1], ...`` yields, at depth
+  ``k``, the token id whose surface equals the last ``k`` chars; selecting
+  depth = span length (from a cummax over the boundary mask) gives the
+  token ending at ``e`` — no sequential scan over positions, exactly the
+  windowed-parallel formulation of ops/match.py.
+* (token_id, rel, state) -> weight-row lookup = per-(side, rel)
+  open-addressed hash tables probed with a short unrolled linear scan
+  (the reference uses SplitMix64 hash maps, utils.rs:89-168; bounded
+  linear probing over device gathers is the batched equivalent).
+* per-slot argmax = masked argmax over the class axis with per-token
+  (offset, count) tables; ``jnp.argmax`` returns the first maximum,
+  matching the reference's strict-``>`` scan.
+
+Tokens containing astral-plane codepoints are excluded from the device
+tables: the lean uint16 serving path (the only consumer) rejects astral
+input lines before they reach the device, so such tokens can never match.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Dict, List, Optional, Tuple
+
+import numpy as np
+
+from .trie import build_trie
+
+__all__ = ["DeviceTagTables", "build_device_tag_tables"]
+
+# hash multipliers (odd constants; golden-ratio / murmur-style)
+_M1 = np.uint32(0x9E3779B1)
+_M2 = np.uint32(0x85EBCA77)
+#: max linear-probe length the device lookup unrolls
+_MAX_PROBE = 8
+#: per-slot candidate count cap for the int8 choice output
+_MAX_CANDS = 127
+
+
+@dataclasses.dataclass
+class _HashTable:
+    """One (side, rel) state-lookup table: slot = hash(tid, state) with
+    linear probing bounded by ``probe_len`` (recorded at build)."""
+
+    shift: int
+    probe_len: int
+    ver_tid: np.ndarray  # int32 (P,), -2 = empty
+    ver_state: np.ndarray  # int32 (P,)
+    row: np.ndarray  # int32 (P,) index into w_rows
+
+
+@dataclasses.dataclass
+class DeviceTagTables:
+    """Everything the jitted tag pass needs, as plain numpy arrays."""
+
+    # token recognition
+    rev_sym_bmp: np.ndarray  # int16[65536] codepoint -> dense symbol (0=OOV)
+    rev_base: np.ndarray
+    rev_check: np.ndarray
+    rev_value: np.ndarray  # exact-match token id at trie node, -1
+    max_tok_len: int
+    # scoring
+    n_tokens: int
+    n_classes: int  # padded class-concatenated width C
+    n_slots: int  # max tag slots across tokens (<= model n_tags)
+    bias: np.ndarray  # (n_tokens, C) int32
+    slot_off: np.ndarray  # (n_tokens, n_slots) int32
+    slot_cnt: np.ndarray  # (n_tokens, n_slots) int32
+    w_rows: np.ndarray  # (n_rows, C) int32; row 0 = all-zero (miss)
+    char_tabs: List[_HashTable]  # one per rel position (may be empty)
+    type_tabs: List[_HashTable]
+
+
+def _hash_slots(tids: np.ndarray, states: np.ndarray, shift: int) -> np.ndarray:
+    h = (tids.astype(np.uint64) * np.uint64(_M1)
+         + states.astype(np.uint64) * np.uint64(_M2)) & np.uint64(0xFFFFFFFF)
+    return (h >> np.uint64(shift)).astype(np.int64)
+
+
+def _build_hash(entries: Dict[Tuple[int, int], int]) -> Optional[_HashTable]:
+    """Open-addressed (tid, state) -> row table with probe length <= 8."""
+    if not entries:
+        return None
+    keys = np.array(sorted(entries), dtype=np.int64)
+    rows = np.array([entries[(int(t), int(s))] for t, s in keys],
+                    dtype=np.int32)
+    bits = max(3, int(np.ceil(np.log2(len(keys) * 4))))
+    while bits <= 28:
+        size = 1 << bits
+        shift = 32 - bits
+        ver_tid = np.full(size, -2, dtype=np.int32)
+        ver_state = np.zeros(size, dtype=np.int32)
+        row = np.zeros(size, dtype=np.int32)
+        slots = _hash_slots(keys[:, 0], keys[:, 1], shift)
+        probe_len = 1
+        ok = True
+        for (tid, st), r, s0 in zip(keys.tolist(), rows.tolist(),
+                                    slots.tolist()):
+            s = s0
+            p = 1
+            while ver_tid[s] != -2:
+                s = (s + 1) & (size - 1)
+                p += 1
+                if p > _MAX_PROBE:
+                    ok = False
+                    break
+            if not ok:
+                break
+            ver_tid[s] = tid
+            ver_state[s] = st
+            row[s] = r
+            probe_len = max(probe_len, p)
+        if ok:
+            return _HashTable(shift, probe_len, ver_tid, ver_state, row)
+        bits += 1
+    return None
+
+
+def build_device_tag_tables(compiled) -> Optional[DeviceTagTables]:
+    """Pack a tag-enabled :class:`CompiledModel` for the device tag pass.
+
+    Returns None when the model has no tag side or hits a packing limit
+    (callers fall back to the host tag scorer).
+    """
+    meta = compiled.tag_meta
+    if meta is None or not meta.bias:
+        return None
+    n_tokens = len(meta.bias)
+
+    # ---- class layout: bias rows padded to the widest token -----------
+    C = max(8, max(len(b) for b in meta.bias))
+    bias = np.zeros((n_tokens, C), dtype=np.int32)
+    for i, b in enumerate(meta.bias):
+        bias[i, : len(b)] = b
+
+    n_slots = min(
+        int(compiled.n_tags),
+        max((len(slots) for slots in meta.tags), default=0),
+    )
+    if n_slots == 0:
+        return None
+    slot_off = np.zeros((n_tokens, n_slots), dtype=np.int32)
+    slot_cnt = np.zeros((n_tokens, n_slots), dtype=np.int32)
+    for tid, slots in enumerate(meta.tags):
+        off = 0
+        for s, cands in enumerate(slots):
+            if s >= n_slots:
+                break
+            if len(cands) >= 2:
+                if len(cands) > _MAX_CANDS:
+                    return None  # int8 choice output would overflow
+                slot_off[tid, s] = off
+                slot_cnt[tid, s] = len(cands)
+                off += len(cands)
+
+    # ---- weight rows + per-(side, rel) hash tables --------------------
+    w_rows_list: List[np.ndarray] = [np.zeros(C, dtype=np.int32)]
+
+    def pack_side(matcher) -> Optional[List[_HashTable]]:
+        if matcher is None or matcher.tag_weight is None:
+            return []
+        n_rel = max((len(r) for r in matcher.tag_weight), default=0)
+        per_rel: List[Dict[Tuple[int, int], int]] = [
+            {} for _ in range(n_rel)
+        ]
+        for tid in range(n_tokens):
+            by_rel = matcher.tag_weight[tid]
+            for rel, table in enumerate(by_rel):
+                for st, w in table.items():
+                    row = np.zeros(C, dtype=np.int64)
+                    k = min(len(w), C)
+                    row[:k] = w[:k]
+                    if (np.abs(row) > 2**31 - 1).any():
+                        return None
+                    per_rel[rel][(tid, int(st))] = len(w_rows_list)
+                    w_rows_list.append(row.astype(np.int32))
+        tabs = []
+        for entries in per_rel:
+            t = _build_hash(entries)
+            if t is None and entries:
+                return None
+            tabs.append(t)
+        # drop trailing rels with no entries
+        while tabs and tabs[-1] is None:
+            tabs.pop()
+        if any(t is None for t in tabs):
+            # keep positional alignment: an empty rel inside the range
+            # becomes a 1-slot never-matching table
+            tabs = [
+                t if t is not None else _HashTable(
+                    29, 1,
+                    np.full(8, -2, dtype=np.int32),
+                    np.zeros(8, dtype=np.int32),
+                    np.zeros(8, dtype=np.int32),
+                )
+                for t in tabs
+            ]
+        return tabs
+
+    char_tabs = pack_side(compiled.char_matcher)
+    if char_tabs is None:
+        return None
+    type_tabs = pack_side(compiled.type_matcher)
+    if type_tabs is None:
+        return None
+
+    # ---- reversed-surface trie ----------------------------------------
+    tokens = sorted(meta.token_ids, key=meta.token_ids.get)
+    sym_of: Dict[int, int] = {}
+    rev_patterns: List[Tuple[int, ...]] = []
+    tids_in_trie: List[int] = []
+    for tid, tok in enumerate(tokens):
+        cps = [ord(c) for c in reversed(tok)]
+        if not cps or any(cp >= 0x10000 for cp in cps):
+            continue  # empty/astral surfaces can never match lean input
+        for cp in cps:
+            if cp not in sym_of:
+                sym_of[cp] = len(sym_of) + 1
+        rev_patterns.append(tuple(sym_of[cp] for cp in cps))
+        tids_in_trie.append(tid)
+    if not rev_patterns:
+        return None
+    if len(sym_of) > 32766:
+        return None
+    rev_sym_bmp = np.zeros(65536, dtype=np.int16)
+    for cp, sym in sym_of.items():
+        rev_sym_bmp[cp] = sym
+    trie = build_trie(rev_patterns, len(sym_of))
+    # remap pattern-index values to token ids
+    value = trie.value.copy()
+    hit = value >= 0
+    value[hit] = np.asarray(tids_in_trie, dtype=np.int32)[value[hit]]
+
+    return DeviceTagTables(
+        rev_sym_bmp=rev_sym_bmp,
+        rev_base=trie.base,
+        rev_check=trie.check,
+        rev_value=value,
+        max_tok_len=trie.max_len,
+        n_tokens=n_tokens,
+        n_classes=C,
+        n_slots=n_slots,
+        bias=bias,
+        slot_off=slot_off,
+        slot_cnt=slot_cnt,
+        w_rows=np.stack(w_rows_list),
+        char_tabs=char_tabs,
+        type_tabs=type_tabs,
+    )

@@ -213,26 +213,7 @@ class Predictor:
 
         def fn(cps, lengths, tables):
             B, L = cps.shape
-            if cps.dtype == jnp.uint16:
-                cps = cps.astype(jnp.int32)
-                cts = tables["ctype_bmp"][cps].astype(jnp.int32)
-            else:
-                bmp = cps < 0x10000
-                cts = jnp.where(
-                    bmp,
-                    tables["ctype_bmp"][jnp.where(bmp, cps, 0)].astype(
-                        jnp.int32
-                    ),
-                    jnp.where(
-                        ((cps >= 0x20000) & (cps <= 0x2A6DF))
-                        | ((cps >= 0x2A700) & (cps <= 0x2B73F))
-                        | ((cps >= 0x2B740) & (cps <= 0x2B81F))
-                        | ((cps >= 0x2B820) & (cps <= 0x2CEAF))
-                        | ((cps >= 0x2F800) & (cps <= 0x2FA1F)),
-                        jnp.int32(kanji),
-                        jnp.int32(other),
-                    ),
-                )
+            cps, cts = _classify_types(cps, tables, kanji, other)
             scores, _, _ = traced(cps, cts, lengths, tables)
             gaps = scores[:, pad_left : pad_left + L - 1] > 0
             for wt in wsconst_types:
@@ -242,6 +223,249 @@ class Predictor:
             return gaps.astype(jnp.int8)
 
         return fn, tables
+
+    # ------------------------------------------------------------------
+    # device tag pass (reference predictor.rs:546-637 on the TPU)
+    # ------------------------------------------------------------------
+
+    #: lazily-built device tag tables (False = not built yet)
+    _tag_dev_obj = False
+
+    def device_tag_tables(self):
+        """The packed :class:`compile.tagdev.DeviceTagTables`, or None when
+        the model has no device-packable tag side."""
+        if self._tag_dev_obj is False:
+            if self.compiled.tag_meta is None:
+                self._tag_dev_obj = None
+            else:
+                from .compile.tagdev import build_device_tag_tables
+
+                try:
+                    self._tag_dev_obj = build_device_tag_tables(self.compiled)
+                except Exception:
+                    self._tag_dev_obj = None
+        return self._tag_dev_obj
+
+    def serve_tags_traced_fn(self, wsconst_types: Tuple[int, ...] = ()):
+        """The unjitted lean tag-serving function and its table pytree:
+        ``fn(cps, lengths, tables) -> (boundaries int8 (B, L-1),
+        token_id int32 (B, L), choice int8 (B, L, n_slots))``.
+
+        Extends the lean boundary kernel with the tag pass ON DEVICE
+        (reference predictor.rs:546-637): token spans come from the
+        thresholded boundary mask (cummax over span starts), the token id
+        ending at each position from a reversed-surface trie walk, scores
+        from bias + per-(token, rel, state) weight-row gathers over the
+        match-state tensors the boundary pass already produced, and the
+        candidate choice from a per-slot masked argmax (first maximum
+        wins, TagPredictor::predict predictor.rs:286-304).
+
+        ``token_id`` is -1 except at the last char of each recognized
+        token; ``choice[b, e, s]`` is the winning candidate index of slot
+        ``s`` for the token ending at ``e`` (-1 for single/empty-candidate
+        slots — the host resolves those without scores, and for
+        unrecognized tokens).
+        """
+        import jax
+        import jax.numpy as jnp
+        from jax import lax
+
+        from .compile.tagdev import _M1, _M2
+        from .sentence import _CHAR_TYPE_TABLE_SMALL, CharacterType
+
+        dt = self.device_tag_tables()
+        if dt is None:
+            raise RuntimeError("model has no device-packable tag tables")
+        tables = dict(self._tables())
+        tables["ctype_bmp"] = jnp.asarray(_CHAR_TYPE_TABLE_SMALL)
+        tables["tag_rev"] = (
+            jnp.asarray(dt.rev_sym_bmp),
+            jnp.asarray(dt.rev_base),
+            jnp.asarray(dt.rev_check),
+            jnp.asarray(dt.rev_value),
+        )
+        tables["tag_bias"] = jnp.asarray(dt.bias)
+        tables["tag_slot"] = (
+            jnp.asarray(dt.slot_off), jnp.asarray(dt.slot_cnt)
+        )
+        tables["tag_w"] = jnp.asarray(dt.w_rows)
+        for key, tabs in (("tag_char", dt.char_tabs),
+                          ("tag_type", dt.type_tabs)):
+            tables[key] = tuple(
+                (jnp.asarray(t.ver_tid), jnp.asarray(t.ver_state),
+                 jnp.asarray(t.row))
+                for t in tabs
+            )
+
+        c = self.compiled
+        traced = _make_traced_fn(c)
+        pad_left = c.pad_left
+        kanji = int(CharacterType.KANJI)
+        other = int(CharacterType.OTHER)
+        max_tok_len = dt.max_tok_len
+        n_tokens = dt.n_tokens
+        S = dt.n_slots
+        C = dt.n_classes
+        # static probe metadata (python ints; see _build_predict_fn note)
+        char_meta = [(t.shift, t.probe_len) for t in dt.char_tabs]
+        type_meta = [(t.shift, t.probe_len) for t in dt.type_tabs]
+        m1 = int(np.int64(np.uint32(_M1)) - (1 << 32)
+                 if int(_M1) >= 1 << 31 else int(_M1))
+        m2 = int(np.int64(np.uint32(_M2)) - (1 << 32)
+                 if int(_M2) >= 1 << 31 else int(_M2))
+
+        def fn(cps, lengths, tables):
+            B, L = cps.shape
+            cps, cts = _classify_types(cps, tables, kanji, other)
+            scores, char_match, type_match = traced(
+                cps, cts, lengths, tables
+            )
+            gaps = scores[:, pad_left : pad_left + L - 1] > 0
+            for wt in wsconst_types:
+                gaps = gaps & ~((cts[:, :-1] == wt) & (cts[:, 1:] == wt))
+            t_idx = lax.broadcasted_iota(jnp.int32, (B, L - 1), 1)
+            gaps = gaps & (t_idx < (lengths[:, None] - 1))
+
+            # ---- token spans from the boundary mask -------------------
+            iota = lax.broadcasted_iota(jnp.int32, (B, L), 1)
+            is_start = jnp.pad(
+                gaps, ((0, 0), (1, 0)), constant_values=True
+            )
+            last_start = lax.cummax(
+                jnp.where(is_start, iota, 0), axis=1
+            )
+            span_len = iota - last_start + 1
+            is_end = jnp.pad(
+                gaps, ((0, 0), (0, 1)), constant_values=False
+            ) | (iota == lengths[:, None] - 1)
+
+            # ---- token id: reversed-surface trie walk -----------------
+            sym_tab, base, check, value = tables["tag_rev"]
+            bmp = cps < 0x10000
+            syms = jnp.where(
+                bmp,
+                sym_tab[jnp.where(bmp, cps, 0)].astype(jnp.int32),
+                0,
+            )
+            n_trie = base.shape[0]
+            node = jnp.zeros((B, L), dtype=jnp.int32)
+            tid = jnp.full((B, L), -1, dtype=jnp.int32)
+
+            def walk_step(node, tid, shifted, k):
+                alive = node >= 0
+                safe = jnp.where(alive, node, 0)
+                cand = jnp.clip(base[safe] + shifted, 0, n_trie - 1)
+                ok = alive & (shifted > 0) & (check[cand] == safe)
+                node = jnp.where(ok, cand, -1)
+                tid = jnp.where(
+                    ok & (span_len == k), value[cand], tid
+                )
+                shifted = jnp.pad(
+                    shifted[:, :-1], ((0, 0), (1, 0))
+                )
+                return node, tid, shifted
+
+            if max_tok_len <= 63:
+                shifted = syms
+                for k in range(1, max_tok_len + 1):
+                    node, tid, shifted = walk_step(node, tid, shifted, k)
+            else:
+                def body(carry, k):
+                    return walk_step(*carry, k), None
+
+                (node, tid, _), _ = lax.scan(
+                    body, (node, tid, syms),
+                    jnp.arange(1, max_tok_len + 1, dtype=jnp.int32),
+                )
+            tid = jnp.where(is_end, tid, -1)
+
+            # ---- scoring: bias + hash-probed weight rows --------------
+            tid_safe = jnp.clip(tid, 0, n_tokens - 1)
+            sc = tables["tag_bias"][tid_safe]  # (B, L, C)
+            wrows = tables["tag_w"]
+
+            def add_side(sc, match, key, meta):
+                if match is None or not meta:
+                    return sc
+                for j, (shift, probe) in enumerate(meta):
+                    vt, vs, rw = tables[key][j]
+                    size = vt.shape[0]
+                    if j == 0:
+                        st = match
+                    else:
+                        st = jnp.pad(
+                            match[:, j:], ((0, 0), (0, j)),
+                            constant_values=-1,
+                        )
+                    h = tid * jnp.int32(m1) + st * jnp.int32(m2)
+                    slot0 = lax.shift_right_logical(h, jnp.int32(shift))
+                    row = jnp.zeros_like(st)
+                    found = jnp.zeros(st.shape, dtype=bool)
+                    for p in range(probe):
+                        s = (slot0 + p) & (size - 1)
+                        hit = (~found) & (vt[s] == tid) & (vs[s] == st)
+                        row = jnp.where(hit, rw[s], row)
+                        found = found | hit
+                    sc = sc + wrows[row]
+                return sc
+
+            sc = add_side(sc, char_match, "tag_char", char_meta)
+            sc = add_side(sc, type_match, "tag_type", type_meta)
+
+            # ---- per-slot masked argmax (first maximum wins) ----------
+            slot_off, slot_cnt = tables["tag_slot"]
+            off = slot_off[tid_safe]  # (B, L, S)
+            cnt = slot_cnt[tid_safe]
+            ciota = lax.broadcasted_iota(jnp.int32, (1, 1, C), 2)
+            NEG = jnp.int32(-(2**31))
+            choices = []
+            for s in range(S):
+                o = off[..., s]
+                n = cnt[..., s]
+                m = (ciota >= o[..., None]) & (ciota < (o + n)[..., None])
+                idx = jnp.argmax(
+                    jnp.where(m, sc, NEG), axis=-1
+                ).astype(jnp.int32) - o
+                choices.append(
+                    jnp.where((n >= 2) & (tid >= 0), idx, -1)
+                )
+            choice = jnp.stack(choices, axis=-1).astype(jnp.int8)
+            return gaps.astype(jnp.int8), tid, choice
+
+        return fn, tables
+
+    def serve_tags_fn(self, wsconst_types: Tuple[int, ...] = (),
+                      mesh=None, mesh_axis: str = "dp"):
+        """Jitted lean tag-serving path (see :meth:`serve_tags_traced_fn`);
+        mesh semantics identical to :meth:`serve_boundaries_fn`."""
+        import jax
+
+        fn, tables = self.serve_tags_traced_fn(wsconst_types)
+
+        if mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            batch_sh = NamedSharding(mesh, P(mesh_axis, None))
+            vec_sh = NamedSharding(mesh, P(mesh_axis))
+            rep = NamedSharding(mesh, P())
+            table_sh = jax.tree.map(lambda _: rep, tables)
+            jitted = jax.jit(
+                fn,
+                in_shardings=(batch_sh, vec_sh, table_sh),
+                out_shardings=(
+                    batch_sh,
+                    batch_sh,
+                    NamedSharding(mesh, P(mesh_axis, None, None)),
+                ),
+            )
+            tables = jax.device_put(tables, table_sh)
+        else:
+            jitted = jax.jit(fn)
+
+        def wrapper(cps, lengths):
+            return jitted(cps, lengths, tables)
+
+        return wrapper
 
     def predict_raw_fn(self):
         """The raw (unjitted) batch predict function over device tables.
@@ -544,6 +768,36 @@ class Predictor:
 
         compiled, predict_tags = deserialize_compiled(data)
         return cls(None, predict_tags, compiled=compiled)
+
+
+def _classify_types(cps, tables, kanji: int, other: int):
+    """Device char-type classification shared by the lean serving kernels.
+
+    Exact parity with :func:`sentence.char_types_of_codepoints`
+    (reference sentence.rs:50-67): a VMEM-resident 64 KiB BMP table plus
+    astral kanji-extension range checks for int32 inputs. Returns
+    (cps int32, char_types int32)."""
+    import jax.numpy as jnp
+
+    if cps.dtype == jnp.uint16:
+        cps = cps.astype(jnp.int32)
+        cts = tables["ctype_bmp"][cps].astype(jnp.int32)
+    else:
+        bmp = cps < 0x10000
+        cts = jnp.where(
+            bmp,
+            tables["ctype_bmp"][jnp.where(bmp, cps, 0)].astype(jnp.int32),
+            jnp.where(
+                ((cps >= 0x20000) & (cps <= 0x2A6DF))
+                | ((cps >= 0x2A700) & (cps <= 0x2B73F))
+                | ((cps >= 0x2B740) & (cps <= 0x2B81F))
+                | ((cps >= 0x2B820) & (cps <= 0x2CEAF))
+                | ((cps >= 0x2F800) & (cps <= 0x2FA1F)),
+                jnp.int32(kanji),
+                jnp.int32(other),
+            ),
+        )
+    return cps, cts
 
 
 def _token_spans(boundaries, n: int):
