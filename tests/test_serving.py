@@ -200,3 +200,228 @@ class TestInputRobustness:
         ends = np.array([len(bad)], dtype=np.int64)
         assert tensorize16_native(blob, starts, ends, 8, None) is None
         assert tensorize_native([bad], 8) is None
+
+
+# ---------------------------------------------------------------------------
+# lean --predict-tags path (round 3: device tag pass + native tag detok)
+# ---------------------------------------------------------------------------
+
+
+def general_path_tags(pred, lines, wsconst=(), normalize=True):
+    """The reference CLI's per-line loop with fill_tags, as bytes."""
+    pre = KyteaFullwidthFilter()
+    posts = [KyteaWsConstFilter(CharacterType(t)) for t in wsconst]
+    out = []
+    for line in lines:
+        try:
+            text = pre.filter(line) if normalize else line
+            s = Sentence.from_raw(text)
+        except Exception:
+            out.append("")
+            continue
+        pred.predict(s)
+        for f in posts:
+            f.filter(s)
+        s.fill_tags()
+        orig = s
+        if normalize:
+            orig = Sentence.from_raw(line)
+            orig.reset_tags(s.n_tags)
+            orig.boundaries = s.boundaries
+            orig.tags = list(s.tags)
+        out.append(orig.write_tokenized_text())
+    return ("\n".join(out) + "\n").encode("utf-8") if out else b""
+
+
+def lean_path_tags(pred, lines, wsconst=(), normalize=True, batch_lines=4):
+    from vaporetto_tpu.serving import LeanServer
+
+    sink = io.BytesIO()
+
+    def fallback(raw_lines):
+        data = general_path_tags(
+            pred, [b.decode("utf-8") for b in raw_lines], wsconst, normalize
+        )
+        sink.write(data)
+
+    server = LeanServer(
+        pred,
+        wsconst=wsconst,
+        normalize=normalize,
+        batch_lines=batch_lines,
+        fallback=fallback,
+        tags=True,
+    )
+    blob = ("\n".join(lines) + "\n").encode("utf-8") if lines else b""
+    server.run(io.BytesIO(blob), sink)
+    return sink.getvalue()
+
+
+@pytest.fixture(scope="module")
+def bundled_pred_tags():
+    from vaporetto_tpu.serving import lean_tags_supported
+
+    pred = Predictor(
+        Model.read("/root/reference/resources/model.bin"), True
+    )
+    if not lean_tags_supported(pred):
+        pytest.skip("lean tag path unavailable")
+    return pred
+
+
+class TestLeanTagsMatchesGeneral:
+    def test_bundled_model_corpus(self, bundled_pred_tags):
+        want = general_path_tags(bundled_pred_tags, CORPUS)
+        got = lean_path_tags(bundled_pred_tags, CORPUS)
+        assert got == want
+
+    def test_docs_tok_conformance(self, bundled_pred_tags):
+        """Byte parity with the reference gold file through the lean tag
+        pipeline (the conformance contract, resources/docs.tok)."""
+        with open("/root/reference/resources/docs.tok", "rb") as f:
+            gold = f.read()
+        lines = [
+            ln.replace(b" ", b"").split(b"/")[0].decode("utf-8")
+            for ln in gold.splitlines()
+        ]
+        # strip tags from gold surfaces: rebuild raw text per line
+        raws = []
+        with open("/root/reference/resources/docs.tok",
+                  encoding="utf-8") as f:
+            for ln in f:
+                toks = ln.strip().split(" ")
+                raws.append("".join(t.split("/")[0] for t in toks))
+        got = lean_path_tags(bundled_pred_tags, raws)
+        assert got == gold
+
+    def test_no_norm_and_wsconst(self, bundled_pred_tags):
+        ws = (int(CharacterType.KANJI),)
+        want = general_path_tags(
+            bundled_pred_tags, CORPUS, wsconst=ws, normalize=False
+        )
+        got = lean_path_tags(
+            bundled_pred_tags, CORPUS, wsconst=ws, normalize=False
+        )
+        assert got == want
+
+    def test_astral_fallback(self, bundled_pred_tags):
+        lines = ["まぁ社長", "猫だ\U0001F431猫だ", "まぁ良い"]
+        want = general_path_tags(bundled_pred_tags, lines)
+        got = lean_path_tags(bundled_pred_tags, lines, batch_lines=2)
+        assert got == want
+
+    def test_golden_model(self):
+        from vaporetto_tpu.serving import lean_tags_supported
+
+        pred = Predictor(create_test_model(), True)
+        if not lean_tags_supported(pred):
+            pytest.skip("lean tag path unavailable")
+        lines = ["この人は地球人だ", "地球人だ", "人", "", "だだだ"]
+        assert lean_path_tags(pred, lines) == \
+            general_path_tags(pred, lines)
+
+    def test_batch_boundary_independence(self, bundled_pred_tags):
+        lines = CORPUS * 3
+        for bl in (1, 3, 64):
+            assert lean_path_tags(bundled_pred_tags, lines,
+                                  batch_lines=bl) == \
+                general_path_tags(bundled_pred_tags, lines)
+
+
+# ---------------------------------------------------------------------------
+# lean --scores path (round 3: int32 score readback + native formatter)
+# ---------------------------------------------------------------------------
+
+
+def general_path_scores(pred, lines, wsconst=(), normalize=True):
+    """The reference CLI's per-line loop with --scores, as bytes
+    (predict/src/main.rs:66-75: scores of the NORMALIZED sentence)."""
+    pre = KyteaFullwidthFilter()
+    posts = [KyteaWsConstFilter(CharacterType(t)) for t in wsconst]
+    out = []
+    for line in lines:
+        try:
+            text = pre.filter(line) if normalize else line
+            s = Sentence.from_raw(text)
+        except Exception:
+            out.append("")
+            continue
+        pred.predict(s)
+        for f in posts:
+            f.filter(s)
+        orig = s
+        if normalize:
+            orig = Sentence.from_raw(line)
+            orig.boundaries = s.boundaries
+        block = [orig.write_tokenized_text()]
+        text = s.as_raw_text()
+        scores = s.boundary_scores_list()
+        for i in range(len(text) - 1):
+            block.append(f"{i}:{text[i]}{text[i + 1]} {scores[i]}")
+        block.append("")  # trailing blank line of the score block
+        out.append("\n".join(block))
+    return ("\n".join(out) + "\n").encode("utf-8") if out else b""
+
+
+def lean_path_scores(pred, lines, wsconst=(), normalize=True,
+                     batch_lines=4):
+    from vaporetto_tpu.serving import LeanServer
+
+    sink = io.BytesIO()
+
+    def fallback(raw_lines):
+        sink.write(general_path_scores(
+            pred, [b.decode("utf-8") for b in raw_lines], wsconst,
+            normalize,
+        ))
+
+    server = LeanServer(
+        pred,
+        wsconst=wsconst,
+        normalize=normalize,
+        batch_lines=batch_lines,
+        fallback=fallback,
+        scores=True,
+    )
+    blob = ("\n".join(lines) + "\n").encode("utf-8") if lines else b""
+    server.run(io.BytesIO(blob), sink)
+    return sink.getvalue()
+
+
+class TestLeanScoresMatchesGeneral:
+    def test_bundled_model_corpus(self, bundled_pred):
+        from vaporetto_tpu.native import scores_detok_available
+
+        if not scores_detok_available():
+            pytest.skip("native scores formatter unavailable")
+        for kwargs in (
+            {},
+            {"normalize": False},
+            {"wsconst": (int(CharacterType.KANJI),)},
+        ):
+            want = general_path_scores(bundled_pred, CORPUS, **kwargs)
+            got = lean_path_scores(bundled_pred, CORPUS, **kwargs)
+            assert got == want, kwargs
+
+    def test_exact_reference_integers(self, bundled_pred):
+        """The conformance contract's pinned integers must ride through
+        the lean scores path (tests/test_integration.py pins them on the
+        general path)."""
+        from vaporetto_tpu.native import scores_detok_available
+
+        if not scores_detok_available():
+            pytest.skip("native scores formatter unavailable")
+        got = lean_path_scores(bundled_pred, ["まぁ社長は火星猫だ"])
+        assert "5:火星 -21407".encode() in got
+        assert "6:星猫 32767".encode() in got
+
+    def test_astral_fallback_and_batching(self, bundled_pred):
+        from vaporetto_tpu.native import scores_detok_available
+
+        if not scores_detok_available():
+            pytest.skip("native scores formatter unavailable")
+        lines = ["まぁ社長", "猫だ\U0001F431猫だ", "まぁ良い"] + CORPUS
+        want = general_path_scores(bundled_pred, lines)
+        for bl in (1, 2, 8):
+            got = lean_path_scores(bundled_pred, lines, batch_lines=bl)
+            assert got == want, bl

@@ -48,10 +48,15 @@ def iter_lines(f):
     """
     try:
         f.reconfigure(newline="\n")
-    except (AttributeError, OSError):
-        pass  # not a reconfigurable TextIOWrapper (e.g. a test StringIO)
+    except (AttributeError, OSError, ValueError):
+        # not a reconfigurable TextIOWrapper (StringIO), or the stream was
+        # already read from / detached (reconfigure raises ValueError)
+        pass
     for line in f:
-        line = line.rstrip("\n")
-        if line.endswith("\r"):
+        # BufRead::lines strips '\r' only when it precedes '\n': an
+        # unterminated final line ending in a lone '\r' keeps its CR
+        if line.endswith("\n"):
             line = line[:-1]
+            if line.endswith("\r"):
+                line = line[:-1]
         yield line

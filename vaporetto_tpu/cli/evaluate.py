@@ -3,6 +3,14 @@
 Mirrors the reference evaluate CLI (evaluate/src/main.rs): gold tokenized
 lines on stdin, re-predict on (optionally normalized) raw text, report
 char-boundary P/R/F1 or Nagata word-level P/R/F1.
+
+Multi-host: with ``--num-processes N --process-id I --coordinator H:P``
+(and ``--input FILE`` instead of stdin), each process initializes
+``jax.distributed``, evaluates its round-robin shard of the corpus, and
+the confusion/word counts are allreduced across processes
+(parallel.distributed.metric_allreduce); process 0 prints the global
+metrics — byte-for-byte those of a single-process run over the full
+corpus.
 """
 
 from __future__ import annotations
@@ -11,7 +19,12 @@ import argparse
 import sys
 from typing import List, Optional
 
-from ..metrics import char_metric, word_metric
+from ..metrics import (
+    char_metric,
+    char_metric_from_counts,
+    word_metric,
+    word_metric_from_counts,
+)
 from ..models.model import Model
 from ..predictor import Predictor
 from ..rules import KyteaFullwidthFilter
@@ -31,7 +44,22 @@ def main(argv: Optional[List[str]] = None) -> int:
     p.add_argument("--no-norm", action="store_true")
     p.add_argument("--metric", choices=["char", "word"], default="char")
     p.add_argument("--batch-size", type=int, default=BATCH)
+    p.add_argument("--input", default=None,
+                   help="Gold corpus file (default: stdin; required for "
+                   "multi-process runs).")
+    p.add_argument("--coordinator", default=None, metavar="HOST:PORT",
+                   help="jax.distributed coordinator address.")
+    p.add_argument("--num-processes", type=int, default=None)
+    p.add_argument("--process-id", type=int, default=None)
     args = p.parse_args(argv)
+
+    distributed = args.num_processes is not None and args.num_processes > 1
+    if distributed:
+        from ..parallel.distributed import initialize
+
+        if args.input is None:
+            p.error("--input is required for multi-process evaluation")
+        initialize(args.coordinator, args.num_processes, args.process_id)
 
     fullwidth = KyteaFullwidthFilter()
     post_filters = build_post_filters(args.wsconst)
@@ -59,7 +87,17 @@ def main(argv: Optional[List[str]] = None) -> int:
             results.append((ref_b, ref_t, sys_b, sys_t))
         pending.clear()
 
-    for line in iter_lines(sys.stdin):
+    if args.input is not None:
+        with open(args.input, encoding="utf-8") as f:
+            lines = [ln for ln in iter_lines(f)]
+    else:
+        lines = iter_lines(sys.stdin)
+    if distributed:
+        from ..parallel.data import host_shard
+
+        lines = [line for _, line in host_shard(list(lines))]
+
+    for line in lines:
         if not line:
             continue
         s = Sentence.from_tokenized(line)
@@ -77,12 +115,36 @@ def main(argv: Optional[List[str]] = None) -> int:
 
     if args.metric == "char":
         m = char_metric(results)
+        if distributed:
+            from ..parallel.distributed import metric_allreduce
+
+            g = metric_allreduce(
+                {"tp": m.tp, "tn": m.tn, "fp": m.fp, "fn": m.fn}
+            )
+            m = char_metric_from_counts(g["tp"], g["tn"], g["fp"], g["fn"])
+            import jax
+
+            if jax.process_index() != 0:
+                return 0
         print(f"Precision: {m.precision}")
         print(f"Recall: {m.recall}")
         print(f"F1: {m.f1}")
         print(f"TP: {m.tp}, TN: {m.tn}, FP: {m.fp}, FN: {m.fn}")
     else:
         m = word_metric(results)
+        if distributed:
+            from ..parallel.distributed import metric_allreduce
+
+            g = metric_allreduce(
+                {"n_sys": m.n_sys, "n_ref": m.n_ref, "n_cor": m.n_cor}
+            )
+            m = word_metric_from_counts(
+                g["n_sys"], g["n_ref"], g["n_cor"]
+            )
+            import jax
+
+            if jax.process_index() != 0:
+                return 0
         print(f"Precision: {m.precision}")
         print(f"Recall: {m.recall}")
         print(f"F1: {m.f1}")

@@ -78,7 +78,27 @@ def main(argv: Optional[List[str]] = None) -> int:
                    help="Data-parallel scale-out: shard batches over the "
                    "first N devices of a 1-D mesh (lean path only; model "
                    "tables replicated, zero collectives).")
+    p.add_argument("--input", default=None,
+                   help="Input corpus file (default: stdin; required for "
+                   "multi-process runs).")
+    p.add_argument("--output", default=None,
+                   help="Output path; multi-process runs write "
+                   "OUTPUT.partN per process (cat in order restores the "
+                   "corpus order).")
+    p.add_argument("--coordinator", default=None, metavar="HOST:PORT",
+                   help="jax.distributed coordinator address.")
+    p.add_argument("--num-processes", type=int, default=None,
+                   help="Multi-host predict: each process handles a "
+                   "contiguous block of the input lines.")
+    p.add_argument("--process-id", type=int, default=None)
     args = p.parse_args(argv)
+
+    if args.num_processes is not None and args.num_processes > 1:
+        start = time.perf_counter()
+        rc = _run_dist(args)
+        print(f"Elapsed: {time.perf_counter() - start} [sec]",
+              file=sys.stderr)
+        return rc
 
     pre_filter = KyteaFullwidthFilter()
     post_filters = build_post_filters(args.wsconst)
@@ -93,9 +113,13 @@ def main(argv: Optional[List[str]] = None) -> int:
     out = sys.stdout
     start = time.perf_counter()
 
-    from ..serving import lean_path_supported
+    from ..serving import lean_path_supported, lean_tags_supported
 
-    if not args.no_lean and lean_path_supported(args):
+    if (
+        not args.no_lean
+        and lean_path_supported(args)
+        and (not args.predict_tags or lean_tags_supported(predictor))
+    ):
         rc = _run_lean(args, predictor)
         print(f"Elapsed: {time.perf_counter() - start} [sec]",
               file=sys.stderr)
@@ -155,19 +179,23 @@ def main(argv: Optional[List[str]] = None) -> int:
     return 0
 
 
-def _run_lean(args, predictor) -> int:
+def _run_lean(args, predictor, infile=None, out_b=None) -> int:
     """The lean serving path: native tensorize (+ fused normalization) ->
-    uint16-in/int8-out device kernel (wsconst fused) -> native byte-level
-    detokenizer against the original input bytes. Output is identical to
-    the general path for the supported flag set (no tags/scores, wsconst
-    in D/R/H/T/K/O); rejected batches (astral chars) fall back per batch.
+    uint16-in/int8-out device kernel (wsconst + tag pass fused) -> native
+    byte-level detokenizer against the original input bytes. Output is
+    identical to the general path for the supported flag set (no scores,
+    wsconst in D/R/H/T/K/O); rejected batches (astral chars) fall back
+    per batch.
     """
     from ..serving import LeanServer
     from .common import _WSCONST_MAP
 
     pre_filter = KyteaFullwidthFilter()
     post_filters = build_post_filters(args.wsconst)
-    out_b = sys.stdout.buffer
+    if infile is None:
+        infile = sys.stdin.buffer
+    if out_b is None:
+        out_b = sys.stdout.buffer
 
     def fallback(lines: List[bytes]) -> None:
         # invalid UTF-8 aborts the run, as in the reference
@@ -199,12 +227,26 @@ def _run_lean(args, predictor) -> int:
                 continue
             for f in post_filters:
                 f.filter(s)
+            if args.predict_tags:
+                s.fill_tags()
             orig = s
             if not args.no_norm:
                 orig = Sentence.from_raw(line)
+                orig.reset_tags(s.n_tags)
                 orig.boundaries = s.boundaries
+                orig.tags = list(s.tags)
             out_b.write(orig.write_tokenized_text().encode("utf-8"))
             out_b.write(b"\n")
+            if args.scores:
+                text = s.as_raw_text()
+                scores = s.boundary_scores_list()
+                for i in range(len(text) - 1):
+                    out_b.write(
+                        f"{i}:{text[i]}{text[i + 1]} {scores[i]}\n".encode(
+                            "utf-8"
+                        )
+                    )
+                out_b.write(b"\n")
         if bad_utf8 is not None:
             out_b.flush()
             raise bad_utf8
@@ -221,10 +263,145 @@ def _run_lean(args, predictor) -> int:
         batch_lines=args.batch_size or 8192,
         fallback=fallback,
         mesh=mesh,
+        tags=args.predict_tags,
+        scores=args.scores,
     )
-    server.run(sys.stdin.buffer, out_b)
+    server.run(infile, out_b)
     out_b.flush()
     return 0
+
+
+def _run_dist(args) -> int:
+    """Multi-process predict: ``jax.distributed`` init, a CONTIGUOUS line
+    block per process (parallel.data.host_shard_bounds), output written to
+    ``{output}.part{process_id}`` — concatenating the parts in process
+    order restores the corpus order. Each process runs the lean pipeline
+    on its shard when the flag set allows, else the general path batched
+    through the bucketed input pipeline (parallel.data.batched_lines)."""
+    import io
+
+    import numpy as np
+
+    from ..parallel.distributed import initialize
+
+    if args.input is None or args.output is None:
+        print("error: --input and --output are required with "
+              "--num-processes", file=sys.stderr)
+        return 2
+    initialize(args.coordinator, args.num_processes, args.process_id)
+    import jax
+
+    pid = jax.process_index()
+
+    print("Loading model file...", file=sys.stderr)
+    model = Model.read(args.model)
+    predictor = Predictor(model, args.predict_tags, backend=args.backend)
+
+    with open(args.input, "rb") as f:
+        data = f.read()
+    blob = np.frombuffer(data, dtype=np.uint8)
+    nl = np.flatnonzero(blob == 0x0A)
+    starts = np.concatenate(([0], nl + 1))
+    if len(data) and not data.endswith(b"\n"):
+        starts = np.concatenate((starts, [len(data)]))
+    n_lines = len(starts) - 1
+    from ..parallel.data import host_shard_bounds
+
+    lo, hi = host_shard_bounds(n_lines)
+    shard = data[starts[lo] : starts[hi]]
+
+    print("Start tokenization", file=sys.stderr)
+    from ..serving import lean_path_supported, lean_tags_supported
+
+    with open(f"{args.output}.part{pid}", "wb") as out_b:
+        if (
+            not args.no_lean
+            and lean_path_supported(args)
+            and (not args.predict_tags or lean_tags_supported(predictor))
+        ):
+            return _run_lean(args, predictor, io.BytesIO(shard), out_b)
+        _general_dist(args, predictor, shard, out_b)
+    return 0
+
+
+def _general_dist(args, predictor, shard: bytes, out_b) -> None:
+    """General path over the bucketed fixed-shape input pipeline."""
+    import numpy as np
+
+    from ..parallel.data import batched_lines
+
+    pre_filter = KyteaFullwidthFilter()
+    post_filters = build_post_filters(args.wsconst)
+    text_lines = shard.decode("utf-8").split("\n")
+    if text_lines and text_lines[-1] == "":
+        text_lines.pop()
+    text_lines = [
+        t[:-1] if t.endswith("\r") else t for t in text_lines
+    ]
+    norm: List[Optional[str]] = []
+    sents: List[Optional[Sentence]] = []
+    for line in text_lines:
+        try:
+            text = line if args.no_norm else pre_filter.filter(line)
+            s = Sentence.from_raw(text)
+        except Exception:
+            text, s = None, None
+        norm.append(text)
+        sents.append(s)
+    max_len = predictor.LONG_SENTENCE_THRESHOLD
+    long_idx = [
+        i for i, s in enumerate(sents)
+        if s is not None and len(s) > max_len
+    ]
+    for i in long_idx:
+        predictor.predict(sents[i])
+    pad = predictor.compiled.pad_left
+    stream = (
+        (i, norm[i])
+        for i, s in enumerate(sents)
+        if s is not None and len(s) <= max_len
+    )
+    for batch in batched_lines(stream, args.batch_size or BATCH,
+                               max_len=max_len):
+        B, L = batch.codepoints.shape
+        fn = predictor._predict_fn(B, L)
+        scores, cm, tm = fn(
+            batch.codepoints, batch.char_types, batch.lengths
+        )
+        scores = np.asarray(scores)
+        cm = np.asarray(cm) if cm is not None else None
+        tm = np.asarray(tm) if tm is not None else None
+        for r, idx in enumerate(batch.line_indices.tolist()):
+            if idx < 0:
+                continue
+            s = sents[idx]
+            n = len(s)
+            s.score_padding = pad
+            s.boundary_scores = scores[r, : pad + max(n - 1, 0) + 1].copy()
+            s.boundaries = (scores[r, pad : pad + n - 1] > 0).astype(
+                np.uint8
+            )
+            if cm is not None:
+                s.char_pma_states = cm[r, :n].astype(np.int32)
+            if tm is not None:
+                s.type_pma_states = tm[r, :n].astype(np.int32)
+            s.set_predictor(predictor)
+    for line, s in zip(text_lines, sents):
+        if s is None:
+            out_b.write(b"\n")
+            continue
+        for f in post_filters:
+            f.filter(s)
+        if args.predict_tags:
+            s.fill_tags()
+        orig = s
+        if not args.no_norm:
+            orig = Sentence.from_raw(line)
+            orig.reset_tags(s.n_tags)
+            orig.boundaries = s.boundaries
+            orig.tags = list(s.tags)
+        out_b.write(orig.write_tokenized_text().encode("utf-8"))
+        out_b.write(b"\n")
 
 
 if __name__ == "__main__":

@@ -14,7 +14,8 @@ from .sentence import CharacterBoundary
 
 _WB = int(CharacterBoundary.WORD_BOUNDARY)
 
-__all__ = ["CharMetric", "WordMetric", "char_metric", "word_metric"]
+__all__ = ["CharMetric", "WordMetric", "char_metric", "word_metric",
+           "char_metric_from_counts", "word_metric_from_counts"]
 
 
 @dataclasses.dataclass
@@ -54,6 +55,14 @@ def char_metric(
                 n_fp += 1
             else:
                 n_fn += 1
+    return char_metric_from_counts(n_tp, n_tn, n_fp, n_fn)
+
+
+def char_metric_from_counts(
+    n_tp: int, n_tn: int, n_fp: int, n_fn: int
+) -> CharMetric:
+    """Ratios from (possibly allreduced) confusion counts — the
+    count/ratio split that distributed evaluation sums over hosts."""
     precision = n_tp / (n_tp + n_fp) if n_tp + n_fp else float("nan")
     recall = n_tp / (n_tp + n_fn) if n_tp + n_fn else float("nan")
     f1 = (
@@ -99,6 +108,11 @@ def word_metric(
             n_cor += 1
         n_sys += 1
         n_ref += 1
+    return word_metric_from_counts(n_sys, n_ref, n_cor)
+
+
+def word_metric_from_counts(n_sys: int, n_ref: int, n_cor: int) -> WordMetric:
+    """Ratios from (possibly allreduced) word counts."""
     precision = n_cor / n_sys if n_sys else float("nan")
     recall = n_cor / n_ref if n_ref else float("nan")
     f1 = (

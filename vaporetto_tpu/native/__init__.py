@@ -88,6 +88,44 @@ def _load() -> Optional[ctypes.CDLL]:
         ctypes.c_int64,
         ctypes.c_int32,
     ]
+    if hasattr(lib, "vt_detok_scores"):
+        lib.vt_detok_scores.restype = ctypes.c_int64
+        lib.vt_detok_scores.argtypes = [
+            ctypes.POINTER(ctypes.c_uint8),   # utf8
+            ctypes.POINTER(ctypes.c_int64),   # starts
+            ctypes.POINTER(ctypes.c_int64),   # ends
+            ctypes.c_int64,                   # n_lines
+            ctypes.POINTER(ctypes.c_int8),    # bnd
+            ctypes.c_int32,                   # Lm1
+            ctypes.POINTER(ctypes.c_uint16),  # cps16 (normalized)
+            ctypes.POINTER(ctypes.c_int32),   # lengths
+            ctypes.POINTER(ctypes.c_int32),   # scores
+            ctypes.POINTER(ctypes.c_uint8),   # out
+            ctypes.c_int64,                   # out_cap
+            ctypes.c_int32,                   # n_threads
+        ]
+    if hasattr(lib, "vt_detok_tags"):
+        lib.vt_detok_tags.restype = ctypes.c_int64
+        lib.vt_detok_tags.argtypes = [
+            ctypes.POINTER(ctypes.c_uint8),   # utf8
+            ctypes.POINTER(ctypes.c_int64),   # starts
+            ctypes.POINTER(ctypes.c_int64),   # ends
+            ctypes.c_int64,                   # n_lines
+            ctypes.POINTER(ctypes.c_int8),    # bnd
+            ctypes.c_int32,                   # Lm1
+            ctypes.POINTER(ctypes.c_int32),   # tid
+            ctypes.POINTER(ctypes.c_int8),    # choice
+            ctypes.c_int32,                   # n_slots
+            ctypes.POINTER(ctypes.c_int64),   # ent_start
+            ctypes.POINTER(ctypes.c_int32),   # ent_base
+            ctypes.POINTER(ctypes.c_int32),   # ent_ccol
+            ctypes.POINTER(ctypes.c_uint8),   # pool
+            ctypes.POINTER(ctypes.c_int64),   # pool_off
+            ctypes.c_int64,                   # max_tag_bytes
+            ctypes.POINTER(ctypes.c_uint8),   # out
+            ctypes.c_int64,                   # out_cap
+            ctypes.c_int32,                   # n_threads
+        ]
     lib.vt_extr_new.restype = ctypes.c_void_p
     lib.vt_extr_new.argtypes = [
         ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
@@ -318,13 +356,22 @@ class NativeHostPredictor:
     bit-identical to the device pipeline — the low-latency small-batch
     serving path and the analogue of the reference's embedded predictor
     (reference predictor.rs:639-664, examples/embedded_device/).
+
+    Thread safety: ``predict_batch`` returns views into per-instance
+    scratch buffers, overwritten by the next call; an internal lock
+    serializes concurrent calls on one instance, but a caller holding a
+    previous result across a later call still sees it overwritten — copy
+    anything kept, or use one instance per thread.
     """
 
     def __init__(self, compiled):
+        import threading
+
         lib = _load()
         if lib is None or not hasattr(lib, "vt_host_predict"):
             raise RuntimeError("native library unavailable")
         self._bufs = {}
+        self._lock = threading.Lock()
         self._lib = lib
         c = compiled
         self.pad_left = int(c.pad_left)
@@ -434,8 +481,13 @@ class NativeHostPredictor:
 
         The returned arrays are views into per-instance scratch buffers
         and are OVERWRITTEN by the next call — copy anything kept (the
-        predictor's `predict_host_batch` does).
+        predictor's `predict_host_batch` does). Concurrent calls on one
+        instance are serialized by ``self._lock`` (see class docstring).
         """
+        with self._lock:
+            return self._predict_batch_locked(cps_list, cts_list, n_threads)
+
+    def _predict_batch_locked(self, cps_list, cts_list, n_threads: int = 0):
         n = len(cps_list)
         lens = np.fromiter((len(c) for c in cps_list), np.int64, n)
         offsets = np.zeros(n + 1, dtype=np.int64)
@@ -964,6 +1016,187 @@ def tensorize16_native(
     if rc != 0:
         return None
     return cps, lengths
+
+
+class TagEmitPlan:
+    """Host emission plan for the lean device tag path.
+
+    Precomputes, per token id, the '/'-separated tag blocks the tokenized
+    writer appends after the surface (reference sentence.rs:850-886 with
+    TagPredictor::predict resolution, predictor.rs:286-304): one entry
+    per slot up to the token's last non-None slot (trailing-None
+    truncation is static per token — multi/single-candidate slots always
+    yield a tag, empty slots never do). Pool strings are pre-escaped.
+    """
+
+    def __init__(self, tag_meta, n_tags: int):
+        def esc(s: str) -> bytes:
+            out = []
+            for ch in s:
+                if ch in (" ", "\\", "/"):
+                    out.append("\\")
+                out.append(ch)
+            return "".join(out).encode("utf-8")
+
+        pool: list = []
+        pool_off = [0]
+
+        def add_pool(b: bytes) -> int:
+            pool.append(b)
+            pool_off.append(pool_off[-1] + len(b))
+            return len(pool) - 1
+
+        n_tokens = len(tag_meta.tags)
+        ent_start = np.zeros(n_tokens + 1, dtype=np.int64)
+        ent_base: list = []
+        ent_ccol: list = []
+        self.max_tag_bytes = 0
+        for tid, slots in enumerate(tag_meta.tags):
+            last_some = 0
+            for s, cands in enumerate(slots):
+                if s >= n_tags:
+                    break
+                if len(cands) > 0:
+                    last_some = s + 1
+            tok_bytes = 0
+            for s in range(last_some):
+                cands = slots[s]
+                if len(cands) >= 2:
+                    ent_base.append(len(pool))
+                    ent_ccol.append(s)
+                    longest = 0
+                    for c in cands:
+                        b = esc(c)
+                        add_pool(b)
+                        longest = max(longest, len(b))
+                    tok_bytes += 1 + longest
+                elif cands:
+                    b = esc(cands[0])
+                    ent_base.append(add_pool(b))
+                    ent_ccol.append(-1)
+                    tok_bytes += 1 + len(b)
+                else:
+                    ent_base.append(-1)
+                    ent_ccol.append(-1)
+                    tok_bytes += 1
+            ent_start[tid + 1] = len(ent_base)
+            self.max_tag_bytes = max(self.max_tag_bytes, tok_bytes)
+        self.ent_start = ent_start
+        self.ent_base = np.asarray(ent_base or [0], dtype=np.int32)
+        self.ent_ccol = np.asarray(ent_ccol or [0], dtype=np.int32)
+        self.pool = np.frombuffer(
+            b"".join(pool) or b"\x00", dtype=np.uint8
+        )
+        self.pool_off = np.asarray(pool_off, dtype=np.int64)
+
+
+def detok_tags_native(
+    blob: np.ndarray,  # uint8 ORIGINAL UTF-8 bytes
+    starts: np.ndarray,  # int64 (n_lines,)
+    ends: np.ndarray,  # int64 (n_lines,)
+    boundaries: np.ndarray,  # int8 (n_lines, L-1)
+    tid: np.ndarray,  # int32 (n_lines, L)
+    choice: np.ndarray,  # int8 (n_lines, L, n_slots)
+    plan: TagEmitPlan,
+    n_threads: int = 0,
+) -> Optional[bytes]:
+    """Tokenized-text writer with tags (lean --predict-tags path)."""
+    lib = _load()
+    if lib is None or not hasattr(lib, "vt_detok_tags"):
+        return None
+    n = len(starts)
+    starts = np.ascontiguousarray(starts, dtype=np.int64)
+    ends = np.ascontiguousarray(ends, dtype=np.int64)
+    boundaries = np.ascontiguousarray(boundaries, dtype=np.int8)
+    tid = np.ascontiguousarray(tid, dtype=np.int32)
+    choice = np.ascontiguousarray(choice, dtype=np.int8)
+    Lm1 = boundaries.shape[1]
+    n_slots = choice.shape[2]
+    total = int((ends - starts).sum())
+    n_tok_max = int((boundaries == 1).sum()) + n
+    cap = 2 * total + n * (Lm1 + 1) + n_tok_max * plan.max_tag_bytes + 1
+    out = np.empty(cap, dtype=np.uint8)
+    buf = blob if blob.size else np.zeros(1, dtype=np.uint8)
+    U8P = ctypes.POINTER(ctypes.c_uint8)
+    I8P = ctypes.POINTER(ctypes.c_int8)
+    I32P = ctypes.POINTER(ctypes.c_int32)
+    I64P = ctypes.POINTER(ctypes.c_int64)
+    written = lib.vt_detok_tags(
+        buf.ctypes.data_as(U8P),
+        starts.ctypes.data_as(I64P),
+        ends.ctypes.data_as(I64P),
+        n,
+        boundaries.ctypes.data_as(I8P),
+        Lm1,
+        tid.ctypes.data_as(I32P),
+        choice.ctypes.data_as(I8P),
+        n_slots,
+        plan.ent_start.ctypes.data_as(I64P),
+        plan.ent_base.ctypes.data_as(I32P),
+        plan.ent_ccol.ctypes.data_as(I32P),
+        plan.pool.ctypes.data_as(U8P),
+        plan.pool_off.ctypes.data_as(I64P),
+        plan.max_tag_bytes,
+        out.ctypes.data_as(U8P),
+        cap,
+        n_threads,
+    )
+    if written < 0:
+        return None
+    return out[:written].tobytes()
+
+
+def scores_detok_available() -> bool:
+    lib = _load()
+    return lib is not None and hasattr(lib, "vt_detok_scores")
+
+
+def detok_scores_native(
+    blob: np.ndarray,  # uint8 ORIGINAL UTF-8 bytes
+    starts: np.ndarray,  # int64 (n_lines,)
+    ends: np.ndarray,  # int64 (n_lines,)
+    boundaries: np.ndarray,  # int8 (n_lines, L-1)
+    cps16: np.ndarray,  # uint16 (n_lines, L) NORMALIZED codepoints
+    lengths: np.ndarray,  # int32 (n_lines,)
+    scores: np.ndarray,  # int32 (n_lines, L-1) raw gap scores
+    n_threads: int = 0,
+) -> Optional[bytes]:
+    """Tokenized-text + per-gap score writer (lean --scores path)."""
+    lib = _load()
+    if lib is None or not hasattr(lib, "vt_detok_scores"):
+        return None
+    n = len(starts)
+    starts = np.ascontiguousarray(starts, dtype=np.int64)
+    ends = np.ascontiguousarray(ends, dtype=np.int64)
+    boundaries = np.ascontiguousarray(boundaries, dtype=np.int8)
+    cps16 = np.ascontiguousarray(cps16, dtype=np.uint16)
+    lengths = np.ascontiguousarray(lengths, dtype=np.int32)
+    scores = np.ascontiguousarray(scores, dtype=np.int32)
+    Lm1 = boundaries.shape[1]
+    total = int((ends - starts).sum())
+    cap = 2 * total + n * (Lm1 + 2) + n * Lm1 * 30 + 1
+    out = np.empty(cap, dtype=np.uint8)
+    buf = blob if blob.size else np.zeros(1, dtype=np.uint8)
+    U8P = ctypes.POINTER(ctypes.c_uint8)
+    I32P = ctypes.POINTER(ctypes.c_int32)
+    I64P = ctypes.POINTER(ctypes.c_int64)
+    written = lib.vt_detok_scores(
+        buf.ctypes.data_as(U8P),
+        starts.ctypes.data_as(I64P),
+        ends.ctypes.data_as(I64P),
+        n,
+        boundaries.ctypes.data_as(ctypes.POINTER(ctypes.c_int8)),
+        Lm1,
+        cps16.ctypes.data_as(ctypes.POINTER(ctypes.c_uint16)),
+        lengths.ctypes.data_as(I32P),
+        scores.ctypes.data_as(I32P),
+        out.ctypes.data_as(U8P),
+        cap,
+        n_threads,
+    )
+    if written < 0:
+        return None
+    return out[:written].tobytes()
 
 
 def detok_native(

@@ -18,7 +18,7 @@ import numpy as np
 
 from ..utils.batch import bucket_length
 
-__all__ = ["Batch", "host_shard", "batched_lines"]
+__all__ = ["Batch", "host_shard", "host_shard_bounds", "batched_lines"]
 
 
 @dataclasses.dataclass
@@ -42,6 +42,23 @@ def host_shard(lines: Sequence[str], process_index: Optional[int] = None,
         for i, line in enumerate(lines)
         if i % process_count == process_index
     ]
+
+
+def host_shard_bounds(n_lines: int, process_index: Optional[int] = None,
+                      process_count: Optional[int] = None) -> Tuple[int, int]:
+    """This host's CONTIGUOUS [lo, hi) line-index block of a corpus.
+
+    Contiguous blocks (unlike the round-robin :func:`host_shard`) let the
+    distributed predict CLI restore global output order by concatenating
+    the per-process output files in process order."""
+    if process_index is None:
+        import jax
+
+        process_index = jax.process_index()
+        process_count = jax.process_count()
+    lo = process_index * n_lines // process_count
+    hi = (process_index + 1) * n_lines // process_count
+    return lo, hi
 
 
 def batched_lines(

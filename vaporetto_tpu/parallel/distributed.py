@@ -30,7 +30,17 @@ def initialize(
     num_processes: Optional[int] = None,
     process_id: Optional[int] = None,
 ) -> None:
-    """Initialize multi-host JAX (no-op when single-process)."""
+    """Initialize multi-host JAX.
+
+    With explicit arguments (or a distributed environment detected via
+    ``JAX_COORDINATOR_ADDRESS``/``COORDINATOR_ADDRESS``), a failure RAISES
+    — a misconfigured pod must not silently degrade to single-process
+    (reference fail-loudly philosophy, errors.rs). With no configuration
+    at all, auto-discovery failure means "not a pod" and single-process is
+    the correct result.
+    """
+    import os
+
     import jax
 
     if num_processes is None and coordinator_address is None:
@@ -38,7 +48,9 @@ def initialize(
         try:
             jax.distributed.initialize()
         except Exception:
-            pass
+            if (os.environ.get("JAX_COORDINATOR_ADDRESS")
+                    or os.environ.get("COORDINATOR_ADDRESS")):
+                raise
         return
     jax.distributed.initialize(
         coordinator_address=coordinator_address,

@@ -37,16 +37,38 @@ _WSCONST_FAST = {"D", "R", "H", "T", "K", "O"}
 
 
 def lean_path_supported(args_like) -> bool:
-    """Whether the predict-CLI flag set can take the lean path."""
-    from .native import available
+    """Whether the predict-CLI flag set can take the lean path.
 
+    ``--predict-tags`` (device tag pass, predictor.serve_tags_fn — check
+    :func:`lean_tags_supported` on the built predictor too) and
+    ``--scores`` (int32 score readback + native score formatter,
+    predictor.serve_scores_fn) are lean-capable since round 3; their
+    combination and ``--tag-scores`` still take the general path.
+    """
+    from .native import available, scores_detok_available
+
+    if args_like.scores and (
+        args_like.predict_tags or not scores_detok_available()
+    ):
+        return False
     return (
-        not args_like.predict_tags
-        and not args_like.scores
-        and not args_like.tag_scores
+        not args_like.tag_scores
         and getattr(args_like, "backend", "device") == "device"
         and all(w in _WSCONST_FAST for w in args_like.wsconst)
         and available()
+    )
+
+
+def lean_tags_supported(predictor) -> bool:
+    """Whether the model packs into device tag tables AND the native
+    tag-aware detokenizer is present (lean --predict-tags path)."""
+    from .native import _load
+
+    lib = _load()
+    return (
+        lib is not None
+        and hasattr(lib, "vt_detok_tags")
+        and predictor.device_tag_tables() is not None
     )
 
 
@@ -77,13 +99,33 @@ class LeanServer:
         batch_lines: int = 8192,
         fallback: Optional[Callable[[List[bytes]], None]] = None,
         mesh=None,
+        tags: bool = False,
+        scores: bool = False,
     ):
         if mesh is not None and batch_lines % mesh.devices.size:
             raise ValueError("batch_lines must divide by the mesh size")
+        if tags and scores:
+            raise ValueError("lean path supports tags or scores, not both")
         self.predictor = predictor
-        self.fn = predictor.serve_boundaries_fn(
-            tuple(sorted(wsconst)), mesh=mesh
-        )
+        self.tags = bool(tags)
+        self.scores = bool(scores)
+        if self.tags:
+            from .native import TagEmitPlan
+
+            self.fn = predictor.serve_tags_fn(
+                tuple(sorted(wsconst)), mesh=mesh
+            )
+            self.plan = TagEmitPlan(
+                predictor.compiled.tag_meta, predictor.compiled.n_tags
+            )
+        elif self.scores:
+            self.fn = predictor.serve_scores_fn(
+                tuple(sorted(wsconst)), mesh=mesh
+            )
+        else:
+            self.fn = predictor.serve_boundaries_fn(
+                tuple(sorted(wsconst)), mesh=mesh
+            )
         self.norm_map = _fullwidth_norm_map() if normalize else None
         self.batch_lines = batch_lines
         self.fallback = fallback
@@ -110,17 +152,42 @@ class LeanServer:
         if t16 is None:
             return None
         cps, lengths = t16
-        bnd = self.fn(cps, lengths)
+        res = self.fn(cps, lengths)
         self.n_lines += n_valid
         self.n_chars += int(lengths[:n_valid].sum())
-        return bnd, blob, starts[:n_valid], ends[:n_valid]
+        host = (cps, lengths) if self.scores else None
+        return res, blob, starts[:n_valid], ends[:n_valid], host
 
     def _realize(self, pending, out) -> None:
-        from .native import detok_native
+        from .native import (
+            detok_native,
+            detok_scores_native,
+            detok_tags_native,
+        )
 
-        bnd_dev, blob, starts, ends = pending
-        bnd = np.asarray(bnd_dev)  # the one device->host readback
-        data = detok_native(blob, starts, ends, bnd[: len(starts)])
+        res, blob, starts, ends, host = pending
+        n = len(starts)
+        if self.scores:
+            bnd_d, sc_d = res
+            bnd = np.asarray(bnd_d)
+            sc = np.asarray(sc_d)
+            cps_h, lengths_h = host
+            data = detok_scores_native(
+                blob, starts, ends, bnd[:n], cps_h[:n], lengths_h[:n],
+                sc[:n],
+            )
+        elif self.tags:
+            bnd_d, tid_d, choice_d = res
+            bnd = np.asarray(bnd_d)
+            tid = np.asarray(tid_d)
+            choice = np.asarray(choice_d)
+            data = detok_tags_native(
+                blob, starts, ends, bnd[:n], tid[:n], choice[:n],
+                self.plan,
+            )
+        else:
+            bnd = np.asarray(res)  # the one device->host readback
+            data = detok_native(blob, starts, ends, bnd[:n])
         if data is None:  # native lib raced away; should not happen
             raise RuntimeError("native detokenizer unavailable")
         out.write(data)
@@ -139,6 +206,7 @@ class LeanServer:
         carry = b""
         eof = False
         while not eof:
+            synthetic_tail = False
             data = infile.read(read_chunk)
             if not data:
                 eof = True
@@ -147,6 +215,7 @@ class LeanServer:
                     break
                 if not data.endswith(b"\n"):
                     data += b"\n"
+                    synthetic_tail = True
                 carry = b""
             else:
                 data = carry + data
@@ -165,9 +234,12 @@ class LeanServer:
             starts[1:] = nl[:-1] + 1
             ends = nl
             # strip a trailing '\r' (CRLF input) from each line, matching
-            # the general path's universal-newline stdin and the
-            # reference's BufRead::lines (both strip "\r\n")
+            # the reference's BufRead::lines — which strips '\r' only when
+            # it precedes '\n', so the synthetic newline appended to an
+            # unterminated final line exempts that line's CR
             has_cr = (ends > starts) & (blob[np.maximum(ends - 1, 0)] == 0x0D)
+            if synthetic_tail:
+                has_cr[-1] = False
             ends = ends - has_cr.astype(np.int64)
             # per-line char counts come from one cumsum over the chunk
             # (UTF-8 char starts are the non-continuation bytes)

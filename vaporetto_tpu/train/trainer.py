@@ -64,6 +64,69 @@ class SolverType:
 # ("dl"|"di"|"dr", length)
 
 
+class _ACDict:
+    """Aho-Corasick automaton over the dictionary words for the
+    pure-Python trainer fallback — an O(n + matches) scan with the same
+    asymptotics as the reference's AC dictionary pass
+    (trainer.rs:227,296-317), replacing the earlier O(n * max_word_len)
+    substring probe. The native extractor (feature_extractor.cc) remains
+    the fast lane; this keeps the fallback's complexity honest.
+
+    ``out[node]`` lists the lengths of every word ending at the node,
+    own (longest) first then inherited suffix matches in decreasing
+    length — so matches at each end position emit longest-first, the
+    same order as the probe it replaces (feature-id assignment order is
+    observable in the model layout)."""
+
+    def __init__(self, words):
+        goto: List[Dict[str, int]] = [{}]
+        fail: List[int] = [0]
+        out: List[List[int]] = [[]]
+        for w in words:
+            node = 0
+            for ch in w:
+                nxt = goto[node].get(ch)
+                if nxt is None:
+                    nxt = len(goto)
+                    goto.append({})
+                    fail.append(0)
+                    out.append([])
+                    goto[node][ch] = nxt
+                node = nxt
+            if len(w) and len(w) not in out[node]:
+                out[node].append(len(w))
+        from collections import deque
+
+        q = deque()
+        for v in goto[0].values():
+            q.append(v)
+        while q:
+            u = q.popleft()
+            for ch, v in goto[u].items():
+                f = fail[u]
+                while f and ch not in goto[f]:
+                    f = fail[f]
+                t = goto[f].get(ch, 0)
+                fail[v] = t if t != v else 0
+                out[v] = out[v] + out[fail[v]]
+                q.append(v)
+        self._goto = goto
+        self._fail = fail
+        self._out = out
+
+    def iter_matches(self, text: str):
+        """Yield (start, end) of every overlapping dict-word occurrence,
+        end ascending, longest-first within each end position."""
+        goto, fail, out = self._goto, self._fail, self._out
+        node = 0
+        for i, ch in enumerate(text):
+            while node and ch not in goto[node]:
+                node = fail[node]
+            node = goto[node].get(ch, 0)
+            for length in out[node]:
+                yield i + 1 - length, i + 1
+
+
 class Trainer:
     """Reference Trainer (trainer.rs:181-493)."""
 
@@ -83,6 +146,8 @@ class Trainer:
         self.type_ngram_size = type_ngram_size
         self.dict_words = list(dict_words)
         self.dict_word_set = set(self.dict_words)
+        self._dict_ac = _ACDict(self.dict_word_set) if self.dict_word_set \
+            else None
         self.dict_max_word_chars = max(
             (len(w) for w in self.dict_words), default=0
         )
@@ -140,20 +205,17 @@ class Trainer:
                         ("t", char_types[j : j + n + 1], j - i - 1)
                     )
             examples.append((features, int(b)))
-        # dictionary features from overlapping dictionary matches
-        if self.dict_word_set:
-            max_k = self.dict_max_word_chars
-            for end in range(1, n_chars + 1):
-                for k in range(min(max_k, end), 0, -1):
-                    start = end - k
-                    if text[start:end] in self.dict_word_set:
-                        length = min(k, self.dict_word_max_len)
-                        if start != 0:
-                            examples[start - 1][0].append(("dl", length))
-                        for g in range(start, end - 1):
-                            examples[g][0].append(("di", length))
-                        if end != n_chars:
-                            examples[end - 1][0].append(("dr", length))
+        # dictionary features from overlapping dictionary matches via the
+        # Aho-Corasick scan (trainer.rs:296-317)
+        if self._dict_ac is not None:
+            for start, end in self._dict_ac.iter_matches(text):
+                length = min(end - start, self.dict_word_max_len)
+                if start != 0:
+                    examples[start - 1][0].append(("dl", length))
+                for g in range(start, end - 1):
+                    examples[g][0].append(("di", length))
+                if end != n_chars:
+                    examples[end - 1][0].append(("dr", length))
         return examples
 
     def add_example(self, sentence: Sentence) -> None:
