@@ -631,8 +631,72 @@ def _measure() -> int:
             print(f"e2e CLI measurement unavailable: {e}", file=sys.stderr)
         _emit(mb_per_sec, chars_per_sec, extra)
     else:
-        print(f"phase: e2e CLI skipped ({remaining:.0f}s left < 300s)",
+        print(f"phase: e2e CLI skipped ({remaining:.0f}s left < 330s)",
               file=sys.stderr, flush=True)
+
+    # ---- lean tag-path steady e2e (VERDICT r2 #2: a driver-visible tag
+    # throughput number). Corpus = docs.tok raw lines repeated: every
+    # line contains bundled-model tag tokens, so the host tag-emission
+    # path does real work (the device kernel's cost is density-
+    # independent by construction).
+    remaining = deadline - (time.monotonic() - t_start)
+    if remaining > 200:
+        print(f"phase: lean tag e2e ({remaining:.0f}s budget)",
+              file=sys.stderr, flush=True)
+        try:
+            from vaporetto_tpu.native import (
+                TagEmitPlan,
+                detok_tags_native,
+                tensorize16_native,
+            )
+
+            predt = Predictor(model, predict_tags=True)
+            tag_fn = predt.serve_tags_fn()
+            plan = TagEmitPlan(
+                predt.compiled.tag_meta, predt.compiled.n_tags
+            )
+            raws = []
+            with open("/root/reference/resources/docs.tok",
+                      encoding="utf-8") as f:
+                for ln in f:
+                    toks = ln.strip().split(" ")
+                    if toks and toks[0]:
+                        raws.append(
+                            "".join(t.split("/")[0] for t in toks)
+                        )
+            line_bs = [r.encode("utf-8") for r in raws]
+            Bt = B_SMALL
+            lines_rep = (line_bs * (Bt // len(line_bs) + 1))[:Bt]
+            blob2 = np.frombuffer(
+                b"\n".join(lines_rep) + b"\n", dtype=np.uint8
+            )
+            nl2 = np.flatnonzero(blob2 == 0x0A)
+            st2 = np.empty(len(nl2), dtype=np.int64)
+            st2[0] = 0
+            st2[1:] = nl2[:-1] + 1
+            en2 = nl2
+            Lt = 16
+            bcps, blens = tensorize16_native(blob2, st2, en2, Lt)
+            n_chars_t = int(blens.sum())
+            res = tag_fn(bcps, blens)  # compile (persistent-cached)
+            np.asarray(res[0])
+            reps = 4
+            t0 = time.perf_counter()
+            for _ in range(reps):
+                bcps, blens = tensorize16_native(blob2, st2, en2, Lt)
+                bnd_t, tid_t, ch_t = tag_fn(bcps, blens)
+                data = detok_tags_native(
+                    blob2, st2, en2, np.asarray(bnd_t),
+                    np.asarray(tid_t), np.asarray(ch_t), plan,
+                )
+                assert data
+            dt = time.perf_counter() - t0
+            extra["e2e_tags_steady_mchars_per_s"] = round(
+                n_chars_t * reps / dt / 1e6, 2
+            )
+        except Exception as e:
+            print(f"tag e2e unavailable: {e}", file=sys.stderr)
+        _emit(mb_per_sec, chars_per_sec, extra)
     return 0
 
 

@@ -181,9 +181,47 @@ def main() -> int:
         dt = time.perf_counter() - t0
         return dt, n_chars, sents
 
+    def run_device():
+        """The round-3 lean device tag pipeline, end to end: uint16
+        tensorize -> serve_tags kernel (spans + token lookup + scoring +
+        argmax ON DEVICE) -> readback -> native tag detokenizer. Unlike
+        the host modes this includes boundary prediction itself."""
+        from vaporetto_tpu.native import (
+            TagEmitPlan, detok_tags_native, tensorize16_native,
+        )
+        from vaporetto_tpu.predictor import Predictor
+        from vaporetto_tpu.utils.batch import bucket_length
+
+        pred = Predictor(model, True)
+        if pred.device_tag_tables() is None:
+            return None
+        fn = pred.serve_tags_fn()
+        plan = TagEmitPlan(pred.compiled.tag_meta, pred.compiled.n_tags)
+        blob = np.frombuffer(
+            ("\n".join(texts) + "\n").encode("utf-8"), dtype=np.uint8
+        )
+        nl = np.flatnonzero(blob == 0x0A)
+        starts = np.empty(len(nl), dtype=np.int64)
+        starts[0] = 0
+        starts[1:] = nl[:-1] + 1
+        ends = nl
+        L = bucket_length(max(len(t) for t in texts) + 1)
+        cps, lens = tensorize16_native(blob, starts, ends, L)
+        np.asarray(fn(cps, lens)[0])  # warm-up / compile
+        t0 = time.perf_counter()
+        cps, lens = tensorize16_native(blob, starts, ends, L)
+        bnd, tid, ch = fn(cps, lens)
+        data = detok_tags_native(
+            blob, starts, ends, np.asarray(bnd), np.asarray(tid),
+            np.asarray(ch), plan,
+        )
+        assert data
+        return time.perf_counter() - t0
+
     dt_native, n_chars, sn = run("native")
     dt_python, _, sp = run("python")
     dt_legacy, _, sl = run("legacy")
+    dt_device = run_device()
     for a, b, c in zip(sn, sp, sl):
         assert a.tags == b.tags == c.tags, "tag path mismatch"
     print(
@@ -197,6 +235,12 @@ def main() -> int:
                 "speedup_vs_python": round(dt_python / dt_native, 1),
                 "speedup_vs_legacy_r1": round(dt_legacy / dt_native, 1),
                 "native_mchars_per_s": round(n_chars / dt_native / 1e6, 2),
+                # full pipeline (incl. boundary prediction), device tag
+                # pass; host modes above time the tag pass alone
+                "device_e2e_mchars_per_s": (
+                    round(n_chars / dt_device / 1e6, 2)
+                    if dt_device else None
+                ),
             }
         )
     )

@@ -96,6 +96,8 @@ class TestTwoProcessPredict:
         ([], 29813),                      # lean path
         (["--no-lean"], 29814),           # batched_lines general path
         (["--predict-tags"], 29815),      # lean device tag path
+        (["--no-lean", "--scores"], 29816),   # score blocks in parts
+        (["--no-lean", "--predict-tags", "--tag-scores"], 29817),
     ])
     def test_parts_concatenate_to_single_process_output(
         self, tmp_path, extra, port
@@ -120,6 +122,31 @@ class TestTwoProcessPredict:
         )
         assert single.returncode == 0, single.stderr.decode()
         assert merged == single.stdout
+
+    def test_unterminated_cr_tail_kept(self, tmp_path):
+        """The whole-file unterminated final line keeps its lone CR in
+        the LAST process's part (BufRead::lines semantics)."""
+        corpus = "火星猫だ\nまぁ\r".encode("utf-8")
+        (tmp_path / "corpus.txt").write_bytes(corpus)
+        port = 29818
+        r0, r1 = _run_pair(
+            self._argv(0, port, str(tmp_path), ["--no-lean"]),
+            self._argv(1, port, str(tmp_path), ["--no-lean"]),
+        )
+        assert r0.returncode == 0, r0.stderr
+        assert r1.returncode == 0, r1.stderr
+        merged = (
+            (tmp_path / "out.part0").read_bytes()
+            + (tmp_path / "out.part1").read_bytes()
+        )
+        single = subprocess.run(
+            [sys.executable, "-m", "vaporetto_tpu.cli.predict",
+             "--model", MODEL_BIN, "--no-lean"],
+            input=corpus, capture_output=True, timeout=180, env=ENV,
+        )
+        assert single.returncode == 0, single.stderr.decode()
+        assert merged == single.stdout
+        assert merged.endswith("\r\n".encode())
 
 
 class TestInitializeFailLoudly:

@@ -124,7 +124,8 @@ class TestCLI:
         env = {"PATH": "/usr/bin:/bin", "JAX_PLATFORMS": "cpu",
                "PYTHONPATH": "/root/repo", "HOME": "/root"}
         for extra in ([], ["--wsconst", "K", "--wsconst", "D"],
-                      ["--no-norm"]):
+                      ["--no-norm"], ["--wsconst", "G"],
+                      ["--wsconst", "G", "--wsconst", "K"]):
             runs = {}
             for mode, flags in (("lean", []), ("general", ["--no-lean"])):
                 out = subprocess.run(

@@ -425,3 +425,65 @@ class TestLeanScoresMatchesGeneral:
         for bl in (1, 2, 8):
             got = lean_path_scores(bundled_pred, lines, batch_lines=bl)
             assert got == want, bl
+
+
+# ---------------------------------------------------------------------------
+# wsconst G on the lean path (round 3: host UAX#29 mask ANDed into readback)
+# ---------------------------------------------------------------------------
+
+
+class TestLeanGraphemeFilter:
+    LINES = [
+        "\u304b\u3099\u304d\u3099\u304f\u3099",  # base + combining voiced marks
+        "まぁ社長は火星猫だ",
+        "áb̂c",      # latin + combining accents
+        "アア",
+        "",
+    ]
+
+    def _general(self, pred, lines, wsconst=()):
+        from vaporetto_tpu.rules import ConcatGraphemeClustersFilter
+
+        pre = KyteaFullwidthFilter()
+        posts = [ConcatGraphemeClustersFilter()] + [
+            KyteaWsConstFilter(CharacterType(t)) for t in wsconst
+        ]
+        out = []
+        for line in lines:
+            try:
+                s = Sentence.from_raw(pre.filter(line))
+            except Exception:
+                out.append("")
+                continue
+            pred.predict(s)
+            for f in posts:
+                f.filter(s)
+            orig = Sentence.from_raw(line)
+            orig.boundaries = s.boundaries
+            out.append(orig.write_tokenized_text())
+        return ("\n".join(out) + "\n").encode("utf-8")
+
+    def test_matches_general(self, bundled_pred):
+        from vaporetto_tpu.serving import LeanServer
+
+        want = self._general(bundled_pred, self.LINES)
+        sink = io.BytesIO()
+        server = LeanServer(
+            bundled_pred, grapheme=True, batch_lines=2,
+        )
+        blob = ("\n".join(self.LINES) + "\n").encode("utf-8")
+        server.run(io.BytesIO(blob), sink)
+        assert sink.getvalue() == want
+
+    def test_composes_with_device_wsconst(self, bundled_pred):
+        from vaporetto_tpu.serving import LeanServer
+
+        ws = (int(CharacterType.KATAKANA),)
+        want = self._general(bundled_pred, self.LINES, wsconst=ws)
+        sink = io.BytesIO()
+        server = LeanServer(
+            bundled_pred, wsconst=ws, grapheme=True, batch_lines=4,
+        )
+        blob = ("\n".join(self.LINES) + "\n").encode("utf-8")
+        server.run(io.BytesIO(blob), sink)
+        assert sink.getvalue() == want

@@ -187,3 +187,47 @@ class TestShardedTagKernel:
         assert np.array_equal(bnd, b1)
         assert np.array_equal(tid, t1)
         assert np.array_equal(choice, c1)
+
+
+class TestPackingLimits:
+    """build_device_tag_tables must refuse (-> host fallback) exactly the
+    shapes its int8 choice output or uint16 token lookup cannot carry."""
+
+    def _model_with(self, tok, slots, astral=False):
+        bias_len = max(
+            sum(len(c) for c in slots if len(c) >= 2), 1
+        )
+        tm = TagModel(tok, slots, [], [], [0] * bias_len)
+        return Model(
+            [NgramData("あ", [1, 2, 3])],
+            [NgramData(bytes([3]), [1, 2, 3])],
+            [], 0, 1, 1, tag_models=[tm],
+        )
+
+    def test_too_many_candidates_falls_back(self):
+        slots = [[f"C{i}" for i in range(130)]]  # > int8 choice range
+        pred = Predictor(self._model_with("あい", slots), True)
+        assert pred.device_tag_tables() is None
+
+    def test_astral_only_token_excluded(self):
+        # a lexicon whose only token is astral can never match uint16
+        # input -> no trie -> device tables unavailable
+        slots = [["X", "Y"]]
+        pred = Predictor(self._model_with("\U0001F431", slots), True)
+        assert pred.device_tag_tables() is None
+
+    def test_mixed_astral_token_skipped_but_rest_packs(self):
+        m = Model(
+            [NgramData("あ", [1, 2, 3])],
+            [NgramData(bytes([3]), [1, 2, 3])],
+            [], 0, 1, 1,
+            tag_models=[
+                TagModel("\U0001F431猫", [["A", "B"]], [], [], [0, 0]),
+                TagModel("あい", [["C", "D"]], [], [], [0, 0]),
+            ],
+        )
+        pred = Predictor(m, True)
+        dt = pred.device_tag_tables()
+        assert dt is not None
+        # the BMP token is recognizable; the astral one is absent
+        assert dt.rev_value.max() == 1  # token id 1 = "あい"

@@ -119,6 +119,9 @@ def main(argv: Optional[List[str]] = None) -> int:
         not args.no_lean
         and lean_path_supported(args)
         and (not args.predict_tags or lean_tags_supported(predictor))
+        # tags + G can't compose leanly: the device tag pass derives
+        # token spans from the pre-G boundaries
+        and not (args.predict_tags and "G" in args.wsconst)
     ):
         rc = _run_lean(args, predictor)
         print(f"Elapsed: {time.perf_counter() - start} [sec]",
@@ -222,31 +225,12 @@ def _run_lean(args, predictor, infile=None, out_b=None) -> int:
         if alive:
             predictor.predict_batch(alive)
         for line, s in zip(texts, sentences):
-            if s is None:
-                out_b.write(b"\n")
-                continue
-            for f in post_filters:
-                f.filter(s)
-            if args.predict_tags:
-                s.fill_tags()
-            orig = s
-            if not args.no_norm:
-                orig = Sentence.from_raw(line)
-                orig.reset_tags(s.n_tags)
-                orig.boundaries = s.boundaries
-                orig.tags = list(s.tags)
-            out_b.write(orig.write_tokenized_text().encode("utf-8"))
-            out_b.write(b"\n")
-            if args.scores:
-                text = s.as_raw_text()
-                scores = s.boundary_scores_list()
-                for i in range(len(text) - 1):
-                    out_b.write(
-                        f"{i}:{text[i]}{text[i + 1]} {scores[i]}\n".encode(
-                            "utf-8"
-                        )
-                    )
-                out_b.write(b"\n")
+            if s is not None:
+                for f in post_filters:
+                    f.filter(s)
+                if args.predict_tags:
+                    s.fill_tags()
+            _emit_outputs(args, line, s, out_b)
         if bad_utf8 is not None:
             out_b.flush()
             raise bad_utf8
@@ -258,17 +242,57 @@ def _run_lean(args, predictor, infile=None, out_b=None) -> int:
         mesh = make_mesh(args.dp)
     server = LeanServer(
         predictor,
-        wsconst=[int(_WSCONST_MAP[w]) for w in args.wsconst],
+        wsconst=[int(_WSCONST_MAP[w]) for w in args.wsconst if w != "G"],
         normalize=not args.no_norm,
         batch_lines=args.batch_size or 8192,
         fallback=fallback,
         mesh=mesh,
         tags=args.predict_tags,
         scores=args.scores,
+        grapheme="G" in args.wsconst,
     )
     server.run(infile, out_b)
     out_b.flush()
     return 0
+
+
+def _emit_outputs(args, line: str, s: Optional[Sentence], out_b) -> None:
+    """Write one line's outputs as bytes: the tokenized text re-applied
+    onto the ORIGINAL line, then the --scores / --tag-scores blocks —
+    the binary-sink twin of ``flush_batch``'s per-line tail (shared by
+    the lean fallback and the distributed general path so the two cannot
+    drift). Filters and ``fill_tags`` must already have run on ``s``."""
+    if s is None:
+        out_b.write(b"\n")
+        return
+    orig = s
+    if not args.no_norm:
+        orig = Sentence.from_raw(line)
+        orig.reset_tags(s.n_tags)
+        orig.boundaries = s.boundaries
+        orig.tags = list(s.tags)
+    out_b.write(orig.write_tokenized_text().encode("utf-8"))
+    out_b.write(b"\n")
+    if args.scores:
+        text = s.as_raw_text()
+        scores = s.boundary_scores_list()
+        for i in range(len(text) - 1):
+            out_b.write(
+                f"{i}:{text[i]}{text[i + 1]} {scores[i]}\n".encode("utf-8")
+            )
+        out_b.write(b"\n")
+    if args.tag_scores:
+        for token in s.iter_tokens():
+            out_b.write(token.surface().encode("utf-8"))
+            for cands in token.tag_candidates():
+                out_b.write(b"\t")
+                out_b.write(
+                    ",".join(
+                        f"{tag}:{score}" for tag, score in cands
+                    ).encode("utf-8")
+                )
+            out_b.write(b"\n")
+        out_b.write(b"\n")
 
 
 def _run_dist(args) -> int:
@@ -296,6 +320,8 @@ def _run_dist(args) -> int:
     print("Loading model file...", file=sys.stderr)
     model = Model.read(args.model)
     predictor = Predictor(model, args.predict_tags, backend=args.backend)
+    if args.tag_scores:
+        predictor.store_tag_scores(True)
 
     with open(args.input, "rb") as f:
         data = f.read()
@@ -309,6 +335,11 @@ def _run_dist(args) -> int:
 
     lo, hi = host_shard_bounds(n_lines)
     shard = data[starts[lo] : starts[hi]]
+    # BufRead::lines keeps a lone CR on an unterminated final line; only
+    # the LAST process's shard can contain it
+    unterminated_tail = (
+        hi == n_lines and len(data) > 0 and not data.endswith(b"\n")
+    )
 
     print("Start tokenization", file=sys.stderr)
     from ..serving import lean_path_supported, lean_tags_supported
@@ -318,14 +349,18 @@ def _run_dist(args) -> int:
             not args.no_lean
             and lean_path_supported(args)
             and (not args.predict_tags or lean_tags_supported(predictor))
+            and not (args.predict_tags and "G" in args.wsconst)
         ):
             return _run_lean(args, predictor, io.BytesIO(shard), out_b)
-        _general_dist(args, predictor, shard, out_b)
+        _general_dist(args, predictor, shard, out_b, unterminated_tail)
     return 0
 
 
-def _general_dist(args, predictor, shard: bytes, out_b) -> None:
-    """General path over the bucketed fixed-shape input pipeline."""
+def _general_dist(args, predictor, shard: bytes, out_b,
+                  unterminated_tail: bool = False) -> None:
+    """General path over the bucketed fixed-shape input pipeline
+    (parallel.data.batched_lines); ``--backend host`` routes through
+    ``predict_batch`` (native evaluator + debug checks) instead."""
     import numpy as np
 
     from ..parallel.data import batched_lines
@@ -335,8 +370,14 @@ def _general_dist(args, predictor, shard: bytes, out_b) -> None:
     text_lines = shard.decode("utf-8").split("\n")
     if text_lines and text_lines[-1] == "":
         text_lines.pop()
+    # CR is stripped only when it preceded '\n' (BufRead::lines): the
+    # unterminated final line of the whole input keeps a lone CR
     text_lines = [
-        t[:-1] if t.endswith("\r") else t for t in text_lines
+        t[:-1]
+        if t.endswith("\r")
+        and not (unterminated_tail and i == len(text_lines) - 1)
+        else t
+        for i, t in enumerate(text_lines)
     ]
     norm: List[Optional[str]] = []
     sents: List[Optional[Sentence]] = []
@@ -348,60 +389,56 @@ def _general_dist(args, predictor, shard: bytes, out_b) -> None:
             text, s = None, None
         norm.append(text)
         sents.append(s)
-    max_len = predictor.LONG_SENTENCE_THRESHOLD
-    long_idx = [
-        i for i, s in enumerate(sents)
-        if s is not None and len(s) > max_len
-    ]
-    for i in long_idx:
-        predictor.predict(sents[i])
-    pad = predictor.compiled.pad_left
-    stream = (
-        (i, norm[i])
-        for i, s in enumerate(sents)
-        if s is not None and len(s) <= max_len
-    )
-    for batch in batched_lines(stream, args.batch_size or BATCH,
-                               max_len=max_len):
-        B, L = batch.codepoints.shape
-        fn = predictor._predict_fn(B, L)
-        scores, cm, tm = fn(
-            batch.codepoints, batch.char_types, batch.lengths
+    alive = [s for s in sents if s is not None]
+    if args.backend == "host":
+        bs = args.batch_size or BATCH
+        for g in range(0, len(alive), bs):
+            predictor.predict_batch(alive[g : g + bs])
+    else:
+        max_len = predictor.LONG_SENTENCE_THRESHOLD
+        for s in alive:
+            if len(s) > max_len:
+                predictor.predict(s)
+        pad = predictor.compiled.pad_left
+        stream = (
+            (i, norm[i])
+            for i, s in enumerate(sents)
+            if s is not None and len(s) <= max_len
         )
-        scores = np.asarray(scores)
-        cm = np.asarray(cm) if cm is not None else None
-        tm = np.asarray(tm) if tm is not None else None
-        for r, idx in enumerate(batch.line_indices.tolist()):
-            if idx < 0:
-                continue
-            s = sents[idx]
-            n = len(s)
-            s.score_padding = pad
-            s.boundary_scores = scores[r, : pad + max(n - 1, 0) + 1].copy()
-            s.boundaries = (scores[r, pad : pad + n - 1] > 0).astype(
-                np.uint8
+        for batch in batched_lines(stream, args.batch_size or BATCH,
+                                   max_len=max_len):
+            B, L = batch.codepoints.shape
+            fn = predictor._predict_fn(B, L)
+            scores, cm, tm = fn(
+                batch.codepoints, batch.char_types, batch.lengths
             )
-            if cm is not None:
-                s.char_pma_states = cm[r, :n].astype(np.int32)
-            if tm is not None:
-                s.type_pma_states = tm[r, :n].astype(np.int32)
-            s.set_predictor(predictor)
+            scores = np.asarray(scores)
+            cm = np.asarray(cm) if cm is not None else None
+            tm = np.asarray(tm) if tm is not None else None
+            for r, idx in enumerate(batch.line_indices.tolist()):
+                if idx < 0:
+                    continue
+                s = sents[idx]
+                n = len(s)
+                s.score_padding = pad
+                s.boundary_scores = scores[
+                    r, : pad + max(n - 1, 0) + 1
+                ].copy()
+                s.boundaries = (scores[r, pad : pad + n - 1] > 0).astype(
+                    np.uint8
+                )
+                if cm is not None:
+                    s.char_pma_states = cm[r, :n].astype(np.int32)
+                if tm is not None:
+                    s.type_pma_states = tm[r, :n].astype(np.int32)
+                s.set_predictor(predictor)
     for line, s in zip(text_lines, sents):
-        if s is None:
-            out_b.write(b"\n")
-            continue
-        for f in post_filters:
-            f.filter(s)
-        if args.predict_tags:
-            s.fill_tags()
-        orig = s
-        if not args.no_norm:
-            orig = Sentence.from_raw(line)
-            orig.reset_tags(s.n_tags)
-            orig.boundaries = s.boundaries
-            orig.tags = list(s.tags)
-        out_b.write(orig.write_tokenized_text().encode("utf-8"))
-        out_b.write(b"\n")
+        if s is not None:
+            for f in post_filters:
+                f.filter(s)
+            if args.predict_tags:
+                s.fill_tags()
+        _emit_outputs(args, line, s, out_b)
 
 
 if __name__ == "__main__":

@@ -31,9 +31,11 @@ from .utils.batch import bucket_length
 
 __all__ = ["LeanServer", "lean_path_supported"]
 
-#: wsconst flags the lean path can fuse on device (G = grapheme clustering
-#: needs host-side UAX#29 segmentation and falls back)
-_WSCONST_FAST = {"D", "R", "H", "T", "K", "O"}
+#: wsconst flags the lean path can fuse on device; G (grapheme
+#: clustering) is handled by a host-side UAX#29 mask ANDed into the
+#: readback (LeanServer(grapheme=True)) — order-independent because both
+#: mechanisms only force gaps to NotWordBoundary
+_WSCONST_FAST = {"D", "R", "H", "T", "K", "O", "G"}
 
 
 def lean_path_supported(args_like) -> bool:
@@ -72,6 +74,38 @@ def lean_tags_supported(predictor) -> bool:
     )
 
 
+_UNSAFE_TABLE: Optional[np.ndarray] = None
+
+
+def _grapheme_unsafe_table() -> np.ndarray:
+    """bool[65536]: BMP codepoints that can participate in a multi-char
+    UAX#29 extended grapheme cluster.
+
+    A codepoint ``c`` is SAFE iff ``"A" + c + c + "A"`` segments into 4
+    singleton clusters: backward-joiners (Extend, SpacingMark, ZWJ) fail
+    the ``A c`` pair, forward-joiners (Prepend) fail ``c A``, and
+    same-class pairs (Hangul jamo, regional indicators) fail ``c c``.
+    CR is special-cased unsafe (the CRLF pair is one cluster and the
+    self-test cannot see cross-class pairs). Built lazily once
+    (~0.3 s), only when a grapheme-filtered lean server runs.
+    """
+    global _UNSAFE_TABLE
+    if _UNSAFE_TABLE is None:
+        from .rules.sentence_filters import _GRAPHEME_RE
+
+        unsafe = np.zeros(65536, dtype=bool)
+        probe = _GRAPHEME_RE.findall
+        for c in range(65536):
+            if 0xD800 <= c <= 0xDFFF:
+                continue  # surrogates cannot appear in decoded text
+            ch = chr(c)
+            if len(probe("A" + ch + ch + "A")) != 4:
+                unsafe[c] = True
+        unsafe[0x0D] = True
+        _UNSAFE_TABLE = unsafe
+    return _UNSAFE_TABLE
+
+
 def _fullwidth_norm_map() -> np.ndarray:
     """uint16[65536] codepoint map of the KyTea fullwidth filter
     (kytea_fullwidth.rs:13-118); identity elsewhere."""
@@ -101,14 +135,22 @@ class LeanServer:
         mesh=None,
         tags: bool = False,
         scores: bool = False,
+        grapheme: bool = False,
     ):
         if mesh is not None and batch_lines % mesh.devices.size:
             raise ValueError("batch_lines must divide by the mesh size")
         if tags and scores:
             raise ValueError("lean path supports tags or scores, not both")
+        if tags and grapheme:
+            # the device tag pass derives token spans from the pre-G
+            # boundaries; a post-hoc host mask would desynchronize them —
+            # callers must route tags+G to the general path
+            raise ValueError("lean tag path cannot compose with the "
+                             "grapheme filter")
         self.predictor = predictor
         self.tags = bool(tags)
         self.scores = bool(scores)
+        self.grapheme = bool(grapheme)
         if self.tags:
             from .native import TagEmitPlan
 
@@ -155,7 +197,7 @@ class LeanServer:
         res = self.fn(cps, lengths)
         self.n_lines += n_valid
         self.n_chars += int(lengths[:n_valid].sum())
-        host = (cps, lengths) if self.scores else None
+        host = (cps, lengths) if (self.scores or self.grapheme) else None
         return res, blob, starts[:n_valid], ends[:n_valid], host
 
     def _realize(self, pending, out) -> None:
@@ -169,7 +211,11 @@ class LeanServer:
         n = len(starts)
         if self.scores:
             bnd_d, sc_d = res
-            bnd = np.asarray(bnd_d)
+            if self.grapheme:
+                bnd = np.array(bnd_d)  # writable copy for the host mask
+                self._apply_grapheme(bnd, host, n)
+            else:
+                bnd = np.asarray(bnd_d)
             sc = np.asarray(sc_d)
             cps_h, lengths_h = host
             data = detok_scores_native(
@@ -186,11 +232,43 @@ class LeanServer:
                 self.plan,
             )
         else:
-            bnd = np.asarray(res)  # the one device->host readback
+            if self.grapheme:
+                bnd = np.array(res)  # writable copy for the host mask
+                self._apply_grapheme(bnd, host, n)
+            else:
+                bnd = np.asarray(res)  # the one device->host readback
             data = detok_native(blob, starts, ends, bnd[:n])
         if data is None:  # native lib raced away; should not happen
             raise RuntimeError("native detokenizer unavailable")
         out.write(data)
+
+    def _apply_grapheme(self, bnd: np.ndarray, host, n: int) -> None:
+        """AND the ConcatGraphemeClustersFilter into the boundary mask:
+        gaps strictly inside a UAX#29 extended grapheme cluster of the
+        NORMALIZED text become NotWordBoundary
+        (concat_grapheme_clusters.rs:11-35). Composes with the device
+        wsconst filters in any order — both only force gaps to 0.
+
+        A vectorized pre-filter skips the per-line Python regex for
+        lines containing no cluster-capable codepoint — on typical CJK
+        corpora almost every line, keeping the lean path's host cost
+        near zero even under ``--wsconst G``."""
+        from .rules.sentence_filters import _GRAPHEME_RE
+
+        cps_h, lens_h = host
+        unsafe = _grapheme_unsafe_table()
+        rows = np.flatnonzero(unsafe[cps_h[:n]].any(axis=1))
+        for i in rows.tolist():
+            ln = int(lens_h[i])
+            if ln < 2:
+                continue
+            text = "".join(map(chr, cps_h[i, :ln].tolist()))
+            start = 0
+            for m in _GRAPHEME_RE.finditer(text):
+                nc = m.end() - m.start()
+                if nc > 1:
+                    bnd[i, start : start + nc - 1] = 0
+                start += nc
 
     # ------------------------------------------------------------------
 
