@@ -487,6 +487,10 @@ def _measure() -> int:
             print(f"small-batch serialized numbers non-physical "
                   f"({small_chars_s / 1e9:.1f} Gchar/s); keeping hedge",
                   file=sys.stderr)
+            if extra is not None:
+                # re-emit so the rejection diagnostics reach the
+                # recorded line even if every later phase wedges
+                _emit(mb_per_sec, chars_per_sec, extra)
             if extra is None:  # hedge unavailable AND numbers rejected:
                 # emit the suspect numbers rather than nothing, flagged
                 chars_per_sec, serve_chars_s = small_chars_s, small_serve_s
@@ -511,6 +515,8 @@ def _measure() -> int:
             print(f"large-batch numbers non-physical "
                   f"({big_chars_s / 1e9:.1f} Gchar/s); keeping previous",
                   file=sys.stderr)
+            if extra is not None:
+                _emit(mb_per_sec, chars_per_sec, extra)
     except Exception as e:
         print(f"large-batch phase unavailable: {e}", file=sys.stderr)
 

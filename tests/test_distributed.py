@@ -191,3 +191,72 @@ class TestInitializeFailLoudly:
         monkeypatch.setattr(jax.distributed, "initialize", boom)
         with pytest.raises(RuntimeError, match="bad coordinator"):
             distributed.initialize("127.0.0.1:1", 2, 0)
+
+
+class TestTwoProcessTrain:
+    """Multi-host training: identical corpora per process, example rows
+    sharded over the GLOBAL mesh, gradients reduced across processes
+    (SURVEY §2.4 trainer collective layout). Process 0's model must match
+    a single-process run to quantization tolerance and reproduce the
+    training data."""
+
+    CORPUS = (
+        "これ は テスト です\nこれ も テスト です\n"
+        "テスト は 大事 です\n大事 な テスト\n"
+        "良い テスト と 悪い テスト\nそれ は それ で 良い\n"
+    )
+
+    def test_matches_single_process(self, tmp_path):
+        corpus = tmp_path / "c.tok"
+        corpus.write_text(self.CORPUS, encoding="utf-8")
+        port = 29821
+
+        def argv(pid, out):
+            return [
+                sys.executable, "-m", "vaporetto_tpu.cli.train",
+                "--model", str(out), "--tok", str(corpus),
+                "--solver", "5",
+                "--coordinator", f"127.0.0.1:{port}",
+                "--num-processes", "2", "--process-id", str(pid),
+            ]
+
+        r0, r1 = _run_pair(
+            argv(0, tmp_path / "m2.bin"), argv(1, tmp_path / "unused.bin"),
+            timeout=300,
+        )
+        assert r0.returncode == 0, r0.stderr
+        assert r1.returncode == 0, r1.stderr
+        single = subprocess.run(
+            [sys.executable, "-m", "vaporetto_tpu.cli.train",
+             "--model", str(tmp_path / "m1.bin"), "--tok", str(corpus),
+             "--solver", "5"],
+            capture_output=True, text=True, timeout=300, env=ENV,
+        )
+        assert single.returncode == 0, single.stderr
+        assert not (tmp_path / "unused.bin").exists()  # one writer
+
+        import numpy as np
+
+        from vaporetto_tpu.models.model import Model
+        from vaporetto_tpu.predictor import Predictor
+        from vaporetto_tpu.sentence import Sentence
+
+        m2 = Model.read(str(tmp_path / "m2.bin"))
+        m1 = Model.read(str(tmp_path / "m1.bin"))
+        assert m2.bias == m1.bias
+        a = {d.ngram: d.weights for d in m2.char_ngram_model}
+        b = {d.ngram: d.weights for d in m1.char_ngram_model}
+        assert set(a) == set(b)
+        for k in a:  # float reduction order may differ across processes
+            assert np.max(np.abs(np.array(a[k]) - np.array(b[k]))) <= 1, k
+        pred = Predictor(m2)
+        correct = total = 0
+        for line in self.CORPUS.strip().split("\n"):
+            gold = Sentence.from_tokenized(line)
+            s = Sentence.from_raw(gold.as_raw_text())
+            pred.predict(s)
+            total += len(gold.boundaries)
+            correct += int(np.sum(
+                np.asarray(gold.boundaries) == np.asarray(s.boundaries)
+            ))
+        assert correct / total >= 0.95

@@ -61,10 +61,26 @@ def main(argv: Optional[List[str]] = None) -> int:
                    "N-device data-parallel mesh (0 = single device). "
                    "The TPU-native analogue of multi-core LIBLINEAR; "
                    "gradients are psum-reduced by GSPMD.")
+    p.add_argument("--coordinator", default=None, metavar="HOST:PORT",
+                   help="jax.distributed coordinator address "
+                   "(multi-host training).")
+    p.add_argument("--num-processes", type=int, default=None,
+                   help="Multi-host training: every process loads the "
+                   "same corpus files and extracts identical features; "
+                   "the solver's example matrix is sharded over the "
+                   "GLOBAL device mesh and gradients reduce across "
+                   "hosts; process 0 writes the model.")
+    p.add_argument("--process-id", type=int, default=None)
     args = p.parse_args(argv)
 
     if not args.tok and not args.part:
         p.error("at least one of --tok / --part is required")
+
+    distributed = args.num_processes is not None and args.num_processes > 1
+    if distributed:
+        from ..parallel.distributed import initialize
+
+        initialize(args.coordinator, args.num_processes, args.process_id)
 
     fullwidth = KyteaFullwidthFilter()
 
@@ -108,7 +124,15 @@ def main(argv: Optional[List[str]] = None) -> int:
     print(f"# of features: {trainer.n_features()}", file=sys.stderr)
 
     mesh = None
-    if args.dp:
+    if distributed:
+        # one 1-D mesh over every chip of every host: each process holds
+        # the identical full example matrix (same corpus, deterministic
+        # feature interning), jax shards the rows globally, and GSPMD
+        # inserts the cross-host gradient reduction (SURVEY §2.4)
+        from ..parallel.distributed import global_mesh
+
+        mesh = global_mesh()
+    elif args.dp:
         from ..parallel.mesh import make_mesh
 
         mesh = make_mesh(args.dp)
@@ -117,6 +141,11 @@ def main(argv: Optional[List[str]] = None) -> int:
     model = trainer.train(args.eps, args.cost, args.solver, mesh=mesh)
     print("Finish training.", file=sys.stderr)
 
+    if distributed:
+        import jax
+
+        if jax.process_index() != 0:
+            return 0  # weights are replicated; one writer suffices
     with open(args.model, "wb") as f:
         model.write(f, zstd_level=19, zstd_workers=args.zstd_workers)
     return 0
