@@ -681,7 +681,9 @@ def _measure() -> int:
             st2[0] = 0
             st2[1:] = nl2[:-1] + 1
             en2 = nl2
-            Lt = 16
+            from vaporetto_tpu.utils.batch import bucket_length
+
+            Lt = bucket_length(max(len(r) for r in raws) + 1)
             bcps, blens = tensorize16_native(blob2, st2, en2, Lt)
             n_chars_t = int(blens.sum())
             res = tag_fn(bcps, blens)  # compile (persistent-cached)
@@ -703,6 +705,9 @@ def _measure() -> int:
         except Exception as e:
             print(f"tag e2e unavailable: {e}", file=sys.stderr)
         _emit(mb_per_sec, chars_per_sec, extra)
+    else:
+        print(f"phase: lean tag e2e skipped ({remaining:.0f}s left < 200s)",
+              file=sys.stderr, flush=True)
     return 0
 
 

@@ -28,26 +28,6 @@ from .common import WSCONST_HELP, build_post_filters, iter_lines
 BATCH = 256
 
 
-def print_scores(s: Sentence, out) -> None:
-    """Reference predict/src/main.rs:66-75."""
-    text = s.as_raw_text()
-    scores = s.boundary_scores_list()
-    for i in range(len(text) - 1):
-        out.write(f"{i}:{text[i]}{text[i + 1]} {scores[i]}\n")
-    out.write("\n")
-
-
-def print_tag_scores(s: Sentence, out) -> None:
-    """Reference predict/src/main.rs:77-93."""
-    for token in s.iter_tokens():
-        out.write(token.surface())
-        for cands in token.tag_candidates():
-            out.write("\t")
-            out.write(",".join(f"{tag}:{score}" for tag, score in cands))
-        out.write("\n")
-    out.write("\n")
-
-
 def main(argv: Optional[List[str]] = None) -> int:
     p = argparse.ArgumentParser(
         description="A program to perform word segmentation."
@@ -110,7 +90,7 @@ def main(argv: Optional[List[str]] = None) -> int:
         predictor.store_tag_scores(True)
 
     print("Start tokenization", file=sys.stderr)
-    out = sys.stdout
+    out = sys.stdout.buffer
     start = time.perf_counter()
 
     from ..serving import lean_path_supported, lean_tags_supported
@@ -119,9 +99,6 @@ def main(argv: Optional[List[str]] = None) -> int:
         not args.no_lean
         and lean_path_supported(args)
         and (not args.predict_tags or lean_tags_supported(predictor))
-        # tags + G can't compose leanly: the device tag pass derives
-        # token spans from the pre-G boundaries
-        and not (args.predict_tags and "G" in args.wsconst)
     ):
         rc = _run_lean(args, predictor)
         print(f"Elapsed: {time.perf_counter() - start} [sec]",
@@ -129,8 +106,8 @@ def main(argv: Optional[List[str]] = None) -> int:
         return rc
     if args.dp:
         print("warning: --dp requires the lean serving path "
-              "(no tags/scores, wsconst in D/R/H/T/K/O); ignored",
-              file=sys.stderr)
+              "(no --tag-scores, no --scores with --predict-tags, no "
+              "--predict-tags with wsconst G); ignored", file=sys.stderr)
 
     def flush_batch(lines: List[str]) -> None:
         sentences: List[Optional[Sentence]] = []
@@ -144,29 +121,12 @@ def main(argv: Optional[List[str]] = None) -> int:
         if alive:
             predictor.predict_batch(alive)
         for line, s in zip(lines, sentences):
-            if s is None:
-                out.write("\n")
-                continue
-            for f in post_filters:
-                f.filter(s)
-            if args.predict_tags:
-                s.fill_tags()
-            if args.no_norm:
-                out.write(s.write_tokenized_text())
-                out.write("\n")
-                if args.scores:
-                    print_scores(s, out)
-            else:
-                orig = Sentence.from_raw(line)
-                orig.reset_tags(s.n_tags)
-                orig.boundaries = s.boundaries
-                orig.tags = list(s.tags)
-                out.write(orig.write_tokenized_text())
-                out.write("\n")
-                if args.scores:
-                    print_scores(s, out)
-            if args.tag_scores:
-                print_tag_scores(s, out)
+            if s is not None:
+                for f in post_filters:
+                    f.filter(s)
+                if args.predict_tags:
+                    s.fill_tags()
+            _emit_outputs(args, line, s, out)
 
     batch: List[str] = []
     batch_size = args.batch_size or BATCH
@@ -184,11 +144,12 @@ def main(argv: Optional[List[str]] = None) -> int:
 
 def _run_lean(args, predictor, infile=None, out_b=None) -> int:
     """The lean serving path: native tensorize (+ fused normalization) ->
-    uint16-in/int8-out device kernel (wsconst + tag pass fused) -> native
-    byte-level detokenizer against the original input bytes. Output is
-    identical to the general path for the supported flag set (no scores,
-    wsconst in D/R/H/T/K/O); rejected batches (astral chars) fall back
-    per batch.
+    uint16/int8 device kernel (wsconst fused; tag pass or int32 score
+    readback when requested) -> native byte-level detokenizer against
+    the original input bytes, with the wsconst-G host mask when asked.
+    Output is byte-identical to the general path for every flag set
+    lean_path_supported accepts; rejected batches (astral chars) fall
+    back per batch.
     """
     from ..serving import LeanServer
     from .common import _WSCONST_MAP
@@ -349,7 +310,6 @@ def _run_dist(args) -> int:
             not args.no_lean
             and lean_path_supported(args)
             and (not args.predict_tags or lean_tags_supported(predictor))
-            and not (args.predict_tags and "G" in args.wsconst)
         ):
             return _run_lean(args, predictor, io.BytesIO(shard), out_b)
         _general_dist(args, predictor, shard, out_b, unterminated_tail)

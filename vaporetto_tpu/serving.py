@@ -53,6 +53,10 @@ def lean_path_supported(args_like) -> bool:
         args_like.predict_tags or not scores_detok_available()
     ):
         return False
+    if args_like.predict_tags and "G" in args_like.wsconst:
+        # the device tag pass derives token spans from the pre-G
+        # boundaries; LeanServer rejects the combination too
+        return False
     return (
         not args_like.tag_scores
         and getattr(args_like, "backend", "device") == "device"
