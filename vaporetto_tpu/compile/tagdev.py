@@ -88,40 +88,53 @@ def _hash_slots(tids: np.ndarray, states: np.ndarray, shift: int) -> np.ndarray:
     return (h >> np.uint64(shift)).astype(np.int64)
 
 
-def _build_hash(entries: Dict[Tuple[int, int], int]) -> Optional[_HashTable]:
-    """Open-addressed (tid, state) -> row table with probe length <= 8."""
-    if not entries:
+def _build_hash(
+    tids: np.ndarray, states: np.ndarray, rows: np.ndarray
+) -> Optional[_HashTable]:
+    """Open-addressed (tid, state) -> row table with probe length <= 8.
+
+    Vectorized round-based insertion: in round ``p`` every still-pending
+    key tries slot ``(h >> shift) + p``; the first pending key per free
+    slot claims it. A key placed in round ``p`` sits exactly ``p`` slots
+    past its home, so the device reader's bounded linear probe
+    (``probe_len`` unrolled gathers) finds every key — the same
+    invariant sequential insertion gives, built in O(probe) numpy passes
+    instead of a per-key Python loop."""
+    n = len(tids)
+    if n == 0:
         return None
-    keys = np.array(sorted(entries), dtype=np.int64)
-    rows = np.array([entries[(int(t), int(s))] for t, s in keys],
-                    dtype=np.int32)
-    bits = max(3, int(np.ceil(np.log2(len(keys) * 4))))
+    tids = np.asarray(tids, dtype=np.int64)
+    states = np.asarray(states, dtype=np.int64)
+    rows = np.asarray(rows, dtype=np.int32)
+    bits = max(3, int(np.ceil(np.log2(n * 4))))
     while bits <= 28:
         size = 1 << bits
         shift = 32 - bits
         ver_tid = np.full(size, -2, dtype=np.int32)
         ver_state = np.zeros(size, dtype=np.int32)
         row = np.zeros(size, dtype=np.int32)
-        slots = _hash_slots(keys[:, 0], keys[:, 1], shift)
-        probe_len = 1
-        ok = True
-        for (tid, st), r, s0 in zip(keys.tolist(), rows.tolist(),
-                                    slots.tolist()):
-            s = s0
-            p = 1
-            while ver_tid[s] != -2:
-                s = (s + 1) & (size - 1)
-                p += 1
-                if p > _MAX_PROBE:
-                    ok = False
-                    break
-            if not ok:
+        slot0 = _hash_slots(tids, states, shift)
+        pending = np.arange(n)
+        probe_len = 0
+        for p in range(_MAX_PROBE):
+            if len(pending) == 0:
                 break
-            ver_tid[s] = tid
-            ver_state[s] = st
-            row[s] = r
-            probe_len = max(probe_len, p)
-        if ok:
+            s = (slot0[pending] + p) & (size - 1)
+            free = ver_tid[s] == -2
+            free_idx = np.flatnonzero(free)
+            if len(free_idx) == 0:
+                probe_len = p + 1
+                continue
+            uniq_slots, first = np.unique(s[free_idx], return_index=True)
+            claim = pending[free_idx[first]]
+            ver_tid[uniq_slots] = tids[claim]
+            ver_state[uniq_slots] = states[claim]
+            row[uniq_slots] = rows[claim]
+            placed = np.zeros(len(pending), dtype=bool)
+            placed[free_idx[first]] = True
+            pending = pending[~placed]
+            probe_len = p + 1
+        if len(pending) == 0:
             return _HashTable(shift, probe_len, ver_tid, ver_state, row)
         bits += 1
     return None
@@ -165,30 +178,64 @@ def build_device_tag_tables(compiled) -> Optional[DeviceTagTables]:
                 off += len(cands)
 
     # ---- weight rows + per-(side, rel) hash tables --------------------
-    w_rows_list: List[np.ndarray] = [np.zeros(C, dtype=np.int32)]
+    # row 0 = all-zero (hash miss); side matrices concatenate after it
+    w_mats: List[np.ndarray] = [np.zeros((1, C), dtype=np.int32)]
+    n_rows_so_far = [1]
 
     def pack_side(matcher) -> Optional[List[_HashTable]]:
         if matcher is None or matcher.tag_weight is None:
             return []
         n_rel = max((len(r) for r in matcher.tag_weight), default=0)
-        per_rel: List[Dict[Tuple[int, int], int]] = [
-            {} for _ in range(n_rel)
-        ]
+        ent_tid: List[int] = []
+        ent_rel: List[int] = []
+        ent_st: List[int] = []
+        ws: List[List[int]] = []
         for tid in range(n_tokens):
-            by_rel = matcher.tag_weight[tid]
-            for rel, table in enumerate(by_rel):
-                for st, w in table.items():
-                    row = np.zeros(C, dtype=np.int64)
-                    k = min(len(w), C)
-                    row[:k] = w[:k]
-                    if (np.abs(row) > 2**31 - 1).any():
-                        return None
-                    per_rel[rel][(tid, int(st))] = len(w_rows_list)
-                    w_rows_list.append(row.astype(np.int32))
-        tabs = []
-        for entries in per_rel:
-            t = _build_hash(entries)
-            if t is None and entries:
+            for rel, table in enumerate(matcher.tag_weight[tid]):
+                if not table:
+                    continue
+                ent_tid.extend([tid] * len(table))
+                ent_rel.extend([rel] * len(table))
+                ent_st.extend(table.keys())
+                ws.extend(table.values())
+        n_ent = len(ws)
+        if n_ent == 0:
+            return []
+        import itertools
+
+        lens = np.fromiter(map(len, ws), dtype=np.int64, count=n_ent)
+        flat = np.fromiter(
+            itertools.chain.from_iterable(ws), dtype=np.int64,
+            count=int(lens.sum()),
+        )
+        if (np.abs(flat) > 2**31 - 1).any():
+            return None
+        # scatter the (clipped-to-C) weights into one dense matrix:
+        # positions within each entry are 0..len-1; keep those < C
+        offs = np.zeros(n_ent + 1, dtype=np.int64)
+        np.cumsum(lens, out=offs[1:])
+        pos = np.arange(len(flat), dtype=np.int64) - np.repeat(
+            offs[:-1], lens
+        )
+        keep = pos < C
+        mat = np.zeros((n_ent, C), dtype=np.int32)
+        mat[np.repeat(np.arange(n_ent), lens)[keep], pos[keep]] = (
+            flat[keep].astype(np.int32)
+        )
+        base = n_rows_so_far[0]
+        w_mats.append(mat)
+        n_rows_so_far[0] += n_ent
+        ent_tid_a = np.asarray(ent_tid, dtype=np.int64)
+        ent_rel_a = np.asarray(ent_rel, dtype=np.int64)
+        ent_st_a = np.asarray(ent_st, dtype=np.int64)
+        row_ids = base + np.arange(n_ent, dtype=np.int64)
+        tabs: List[Optional[_HashTable]] = []
+        for rel in range(n_rel):
+            m = ent_rel_a == rel
+            t = _build_hash(
+                ent_tid_a[m], ent_st_a[m], row_ids[m].astype(np.int32)
+            )
+            if t is None and m.any():
                 return None
             tabs.append(t)
         # drop trailing rels with no entries
@@ -254,7 +301,7 @@ def build_device_tag_tables(compiled) -> Optional[DeviceTagTables]:
         bias=bias,
         slot_off=slot_off,
         slot_cnt=slot_cnt,
-        w_rows=np.stack(w_rows_list),
+        w_rows=np.concatenate(w_mats, axis=0),
         char_tabs=char_tabs,
         type_tabs=type_tabs,
     )
