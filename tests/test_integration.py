@@ -5,6 +5,7 @@ The reference pins behaviour with doctests over bundled fixtures
 byte-identical conformance contract.
 """
 
+import os
 import subprocess
 import sys
 
@@ -282,3 +283,23 @@ class TestLineSemantics:
         for extra in (["--no-lean"], []):
             stdout = self._run(extra, data)
             assert stdout.endswith("\r\n".encode()), (extra, stdout)
+
+
+class TestProfileFlag:
+    def test_profile_writes_trace(self, tmp_path):
+        """--profile captures a jax.profiler trace directory."""
+        out = subprocess.run(
+            [sys.executable, "-m", "vaporetto_tpu.cli.predict",
+             "--model", MODEL_BIN, "--profile", str(tmp_path / "tr")],
+            input="まぁ社長は火星猫だ\n", capture_output=True, text=True,
+            timeout=560,
+            env={"PATH": "/usr/bin:/bin", "JAX_PLATFORMS": "cpu",
+                 "PYTHONPATH": "/root/repo", "HOME": "/root"},
+        )
+        assert out.returncode == 0, out.stderr
+        assert out.stdout == "まぁ 社長 は 火星 猫 だ\n"
+        import glob
+
+        files = glob.glob(str(tmp_path / "tr" / "**" / "*"),
+                          recursive=True)
+        assert any(os.path.isfile(f) for f in files), files

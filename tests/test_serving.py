@@ -487,3 +487,76 @@ class TestLeanGraphemeFilter:
         blob = ("\n".join(self.LINES) + "\n").encode("utf-8")
         server.run(io.BytesIO(blob), sink)
         assert sink.getvalue() == want
+
+
+# ---------------------------------------------------------------------------
+# randomized differential fuzz: every lean mode vs the general path
+# ---------------------------------------------------------------------------
+
+
+class TestLeanFuzz:
+    """Random lines over an adversarial alphabet (CJK, ASCII incl. the
+    escape chars, halfwidth forms that normalize, combining marks, lone
+    CR, empty lines) through every lean mode; outputs must equal the
+    general path byte-for-byte."""
+
+    def _lines(self, seed, n=40):
+        rng = np.random.default_rng(seed)
+        pool = (
+            [chr(c) for c in range(0x3041, 0x3097)]
+            + [chr(c) for c in range(0x4E00, 0x4E40)]
+            + list("abcXYZ013 /\\-|")
+            + ["ｱ", "Ａ", "１", "ー", "゙", "́", "\r"]
+        )
+        lines = []
+        for _ in range(n):
+            k = int(rng.integers(0, 14))
+            line = "".join(rng.choice(pool) for _ in range(k))
+            # a trailing CR would be stripped as CRLF by any line reader
+            # (iter_lines / LeanServer); the helpers here compare
+            # post-read lines, so normalize the generator the same way
+            if line.endswith("\r"):
+                line = line[:-1]
+            lines.append(line)
+        return lines
+
+    @pytest.mark.parametrize("seed", [1, 2])
+    def test_boundaries(self, bundled_pred, seed):
+        lines = self._lines(seed)
+        assert lean_path(bundled_pred, lines, batch_lines=8) == \
+            general_path(bundled_pred, lines)
+
+    @pytest.mark.parametrize("seed", [3])
+    def test_grapheme(self, bundled_pred, seed):
+        from vaporetto_tpu.serving import LeanServer
+
+        lines = self._lines(seed)
+        t = TestLeanGraphemeFilter()
+        want = t._general(bundled_pred, lines)
+        sink = io.BytesIO()
+
+        def fallback(raw):
+            sink.write(t._general(
+                bundled_pred, [b.decode("utf-8") for b in raw]
+            ))
+
+        LeanServer(
+            bundled_pred, grapheme=True, batch_lines=8, fallback=fallback,
+        ).run(io.BytesIO(("\n".join(lines) + "\n").encode("utf-8")), sink)
+        assert sink.getvalue() == want
+
+    @pytest.mark.parametrize("seed", [4])
+    def test_tags(self, bundled_pred_tags, seed):
+        lines = self._lines(seed)
+        assert lean_path_tags(bundled_pred_tags, lines, batch_lines=8) == \
+            general_path_tags(bundled_pred_tags, lines)
+
+    @pytest.mark.parametrize("seed", [5])
+    def test_scores(self, bundled_pred, seed):
+        from vaporetto_tpu.native import scores_detok_available
+
+        if not scores_detok_available():
+            pytest.skip("native scores formatter unavailable")
+        lines = self._lines(seed)
+        assert lean_path_scores(bundled_pred, lines, batch_lines=8) == \
+            general_path_scores(bundled_pred, lines)

@@ -71,7 +71,20 @@ def main(argv: Optional[List[str]] = None) -> int:
                    help="Multi-host predict: each process handles a "
                    "contiguous block of the input lines.")
     p.add_argument("--process-id", type=int, default=None)
+    p.add_argument("--profile", default=None, metavar="DIR",
+                   help="Capture a jax.profiler trace of the run into "
+                   "DIR (view with TensorBoard/xprof).")
     args = p.parse_args(argv)
+
+    if args.profile:
+        from ..utils.observe import trace
+
+        with trace(args.profile):
+            return _dispatch_modes(args)
+    return _dispatch_modes(args)
+
+
+def _dispatch_modes(args) -> int:
 
     if args.num_processes is not None and args.num_processes > 1:
         start = time.perf_counter()
