@@ -282,7 +282,15 @@ def _measure() -> int:
         init = jnp.zeros((cps.shape[0], cps.shape[1] - 1), dtype=jnp.int8)
         return lax.fori_loop(0, n, body, init)
 
+    # trip counts for the timing loops. The block-based check uses large
+    # counts (a lying block_until_ready shows up unmistakably); the
+    # readback-grounded loops use SMALL counts: measured per-iteration
+    # cost on this tunnel is ~23-55 ms, and single executions beyond
+    # ~60 s were observed to CRASH the TPU worker ("TPU worker process
+    # crashed or restarted"), so 45 iterations (~1-2.5 s) gives a
+    # >30x-over-jitter signal while staying far from the crash regime.
     N_COUNTS = (2, 5, 8) if smoke else (20, 520, 1020)
+    N_COUNTS_RB = (2, 5, 8) if smoke else (5, 25, 45)
 
     def block_wait(x):
         jax.block_until_ready(x)
@@ -297,18 +305,19 @@ def _measure() -> int:
         # sync-dispatch cost cancels in the trip-count differencing.
         np.asarray(x[0, 0])
 
-    def timed_loops(loop, args, wait):
+    def timed_loops(loop, args, wait, counts=None):
         """Serialized per-step seconds + raw-sample diagnostics."""
+        counts = counts or N_COUNTS
         jax.block_until_ready(loop(*args, 1))  # warm-up / compile
         wait(loop(*args, 1))
-        raw = {n: [] for n in N_COUNTS}
+        raw = {n: [] for n in counts}
         for _ in range(3):
-            for n in N_COUNTS:
+            for n in counts:
                 t0 = time.perf_counter()
                 wait(loop(*args, n))
                 raw[n].append(time.perf_counter() - t0)
-        ns = np.array(N_COUNTS, dtype=np.float64)
-        ts = np.array([min(raw[n]) for n in N_COUNTS])
+        ns = np.array(counts, dtype=np.float64)
+        ts = np.array([min(raw[n]) for n in counts])
         slope = float(
             ((ns - ns.mean()) * (ts - ts.mean())).sum()
             / ((ns - ns.mean()) ** 2).sum()
@@ -316,7 +325,7 @@ def _measure() -> int:
         diag = {
             "times_ms": {
                 str(n): [round(t * 1e3, 3) for t in raw[n]]
-                for n in N_COUNTS
+                for n in counts
             },
             "slope_us_per_iter": round(slope * 1e6, 3),
         }
@@ -324,26 +333,26 @@ def _measure() -> int:
             # largest whole run divided by its full trip count — this
             # INCLUDES launch overhead so it can only understate
             # throughput, and the tag says so
-            slope = float(ts[-1] / N_COUNTS[-1])
+            slope = float(ts[-1] / counts[-1])
             diag["fallback"] = "t_max/n_max (includes launch overhead)"
         return slope, diag
 
     diagnostics = {}
 
-    def bandwidth_at(B, wait=block_wait, tag=""):
+    def bandwidth_at(B, wait=block_wait, tag="", counts=None):
         print(f"phase: full fn B={B}{tag}", file=sys.stderr, flush=True)
         cps_d = jax.device_put(cps[:B])
         cts_d = jax.device_put(cts[:B])
         len_d = jax.device_put(lengths[:B])
         step_s, d1 = timed_loops(
-            full_loop, (cps_d, cts_d, len_d, tbls), wait
+            full_loop, (cps_d, cts_d, len_d, tbls), wait, counts
         )
         diagnostics[f"full_loop_B{B}{tag}"] = d1
 
         print(f"phase: serve fn B={B}{tag}", file=sys.stderr, flush=True)
         scps_d = jax.device_put(cps16[:B])
         serve_step_s, d2 = timed_loops(
-            serve_loop, (scps_d, len_d, serve_tbls), wait
+            serve_loop, (scps_d, len_d, serve_tbls), wait, counts
         )
         diagnostics[f"serve_loop_B{B}{tag}"] = d2
         return B * L / step_s, B * L / serve_step_s
@@ -457,68 +466,44 @@ def _measure() -> int:
         return (peak_gb is None
                 or chars_s * bytes_per_char / 1e9 <= 1.05 * peak_gb)
 
-    # known-good cached shape first: its JSON survives any later wedge
-    try:
-        small_chars_s, small_serve_s = bandwidth_at(B_SMALL)
-    except Exception as e:
-        print(f"small-batch phase unavailable: {e}", file=sys.stderr)
-        small_chars_s = small_serve_s = None
     def _serve_or_none(serve_s):
-        # the serve loop gets its own physicality gate: a flaky full-path
-        # pass must not smuggle a dispatch-rate serve number into the
-        # record (round 2's serve_hbm_roofline_fraction: 0.002)
+        # the serve loop gets its own physicality gate: a dispatch-rate
+        # serve number must never reach the record (round 2's
+        # serve_hbm_roofline_fraction: 0.002)
         if serve_s is not None and _physical(
             serve_s, serve_bytes_per_char, peak
         ):
             return serve_s
         return None
 
-    if small_chars_s is not None:
-        if _physical(small_chars_s, full_bytes_per_char, peak):
-            chars_per_sec = small_chars_s
-            serve_chars_s = _serve_or_none(small_serve_s)
-            mb_per_sec, extra = emit_for(
-                chars_per_sec, serve_chars_s, B_SMALL, extra
-            )
-        else:
-            diagnostics["rejected_B8192_gchars_per_s"] = round(
-                small_chars_s / 1e9, 2
-            )
-            print(f"small-batch serialized numbers non-physical "
-                  f"({small_chars_s / 1e9:.1f} Gchar/s); keeping hedge",
-                  file=sys.stderr)
-            if extra is not None:
-                # re-emit so the rejection diagnostics reach the
-                # recorded line even if every later phase wedges
-                _emit(mb_per_sec, chars_per_sec, extra)
-            if extra is None:  # hedge unavailable AND numbers rejected:
-                # emit the suspect numbers rather than nothing, flagged
-                chars_per_sec, serve_chars_s = small_chars_s, small_serve_s
-                mb_per_sec, extra = emit_for(
-                    small_chars_s, small_serve_s, B_SMALL,
-                    timing="serialized-loop-SUSPECT",
-                )
-
-    # dispatch-amortized shape; overrides the primary value on success
+    # Block-based serialized loops are NOT a measurement on this tunnel:
+    # block_until_ready returns at enqueue (round-3 finding; 1020-
+    # iteration loops "completed" in 0.1 ms), and the thousands of
+    # enqueued iterations they leave behind correlate with the first
+    # readback wedging (probe processes with empty queues read back in
+    # 0.3 s while loop-heavy bench processes wedged repeatedly). One
+    # cheap pair of calls documents the tunnel's block behavior per run,
+    # diagnostics-only; the serialized numbers come from the
+    # readback-grounded loops after the readback path is primed.
     try:
-        big_chars_s, big_serve_s = bandwidth_at(B_BIG)
-        if _physical(big_chars_s, full_bytes_per_char, peak):
-            chars_per_sec = big_chars_s
-            serve_chars_s = _serve_or_none(big_serve_s)
-            mb_per_sec, extra = emit_for(
-                big_chars_s, serve_chars_s, B_BIG, extra
-            )
-        else:
-            diagnostics["rejected_B32768_gchars_per_s"] = round(
-                big_chars_s / 1e9, 2
-            )
-            print(f"large-batch numbers non-physical "
-                  f"({big_chars_s / 1e9:.1f} Gchar/s); keeping previous",
-                  file=sys.stderr)
-            if extra is not None:
-                _emit(mb_per_sec, chars_per_sec, extra)
+        cps_s = jax.device_put(cps[:B_SMALL])
+        cts_s = jax.device_put(cts[:B_SMALL])
+        len_s = jax.device_put(lengths[:B_SMALL])
+        jax.block_until_ready(full_loop(cps_s, cts_s, len_s, tbls, 1))
+        t0 = time.perf_counter()
+        jax.block_until_ready(full_loop(cps_s, cts_s, len_s, tbls, 20))
+        t_20 = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        jax.block_until_ready(full_loop(cps_s, cts_s, len_s, tbls, 1020))
+        t_1020 = time.perf_counter() - t0
+        diagnostics["block_timing_check_ms"] = {
+            "n20": round(t_20 * 1e3, 3),
+            "n1020": round(t_1020 * 1e3, 3),
+            "note": "if these are equal, block_until_ready is not "
+                    "waiting and only readback-grounded numbers count",
+        }
     except Exception as e:
-        print(f"large-batch phase unavailable: {e}", file=sys.stderr)
+        print(f"block-timing check unavailable: {e}", file=sys.stderr)
 
     if extra is None:
         # every earlier phase failed: emit an explicit empty record so
@@ -541,30 +526,42 @@ def _measure() -> int:
               file=sys.stderr, flush=True)
         from vaporetto_tpu.native import detok_native, tensorize16_native
 
-        # The first readback either completes (~220 s) or wedges FOREVER
-        # (observed: 3 consecutive attempts burned their full 900 s
-        # budget). Run it on a side thread under a watchdog: on a wedge,
-        # exit rc=3 immediately so the parent's retry gets a fresh
-        # process while the budget lasts.
+        # The first readback either completes or wedges FOREVER
+        # (observed: whole runs of 3 attempts wedging). Each readback
+        # step runs on a side thread under a watchdog: on a wedge, exit
+        # rc=3 immediately so the parent's retry gets a fresh process
+        # while the budget lasts. The readback path is PRIMED with a
+        # 1-element transfer first — small readbacks were observed to
+        # succeed (0.3 s) in the same window where 2 MB ones wedged.
         import os as _os
         import threading
 
-        holder = {}
+        def _guarded(fn, timeout, label):
+            holder = {}
 
-        def _read():
-            holder["first"] = np.asarray(sout)
+            def run():
+                holder["v"] = fn()
+
+            th = threading.Thread(target=run, daemon=True)
+            th.start()
+            th.join(timeout)
+            if "v" not in holder:
+                print(f"{label} wedged; aborting this attempt",
+                      file=sys.stderr, flush=True)
+                sys.stdout.flush()
+                _os._exit(3)
+            return holder["v"]
 
         t0 = time.perf_counter()
-        th = threading.Thread(target=_read, daemon=True)
-        th.start()
-        th.join(FIRST_READBACK_TIMEOUT)
-        if "first" not in holder:
-            print("first readback wedged; aborting this attempt",
-                  file=sys.stderr, flush=True)
-            sys.stdout.flush()
-            _os._exit(3)
-        first = holder["first"]
+        _guarded(lambda: np.asarray(sout[0, :1]),
+                 FIRST_READBACK_TIMEOUT, "priming readback")
         diagnostics["first_readback_s"] = round(
+            time.perf_counter() - t0, 1
+        )
+        t0 = time.perf_counter()
+        first = _guarded(lambda: np.asarray(sout),
+                         FIRST_READBACK_TIMEOUT, "bulk readback")
+        diagnostics["bulk_readback_s"] = round(
             time.perf_counter() - t0, 1
         )
         assert first.shape == (B, L - 1)
@@ -572,10 +569,11 @@ def _measure() -> int:
         # ---- readback-grounded serialized loops ----------------------
         # the only timing on this tunnel whose completion signal is
         # trustworthy; overrides the primary value when physical
-        for BB in (B_SMALL, B_BIG):
+        for BB in (B_SMALL,):
             try:
                 rb_chars_s, rb_serve_s = bandwidth_at(
-                    BB, wait=readback_wait, tag="_rb"
+                    BB, wait=readback_wait, tag="_rb",
+                    counts=N_COUNTS_RB,
                 )
             except Exception as e:
                 print(f"readback-grounded phase B={BB} unavailable: {e}",
@@ -594,6 +592,57 @@ def _measure() -> int:
                 )
                 print(f"readback-grounded numbers non-physical at B={BB} "
                       f"({rb_chars_s / 1e9:.1f} Gchar/s)", file=sys.stderr)
+
+        # ---- independent cross-check: single-dispatch batch-size
+        # differencing. Time one dispatch (readback-grounded) at B_SMALL
+        # and B_BIG with device-resident inputs; the marginal time per
+        # char cancels the sync-dispatch floor. Two methods agreeing
+        # (loop slope vs dispatch marginal) is what makes the number a
+        # measurement rather than an artifact.
+        try:
+            print("phase: dispatch-marginal cross-check",
+                  file=sys.stderr, flush=True)
+            fnj = jax.jit(traced)
+            sfnj = jax.jit(serve_fn)
+            dev = {}
+            for BB in (B_SMALL, B_BIG):
+                dev[BB] = (
+                    jax.device_put(cps16[:BB]),
+                    jax.device_put(lengths[:BB]),
+                    jax.device_put(cps[:BB]),
+                    jax.device_put(cts[:BB]),
+                )
+            marg = {}
+            for name, call, col in (
+                ("full", lambda BB: fnj(dev[BB][2], dev[BB][3],
+                                        dev[BB][1], tbls)[0], True),
+                ("serve", lambda BB: sfnj(dev[BB][0], dev[BB][1],
+                                          serve_tbls), True),
+            ):
+                med = {}
+                for BB in (B_SMALL, B_BIG):
+                    ts = []
+                    for _ in range(5):
+                        t0 = time.perf_counter()
+                        o = call(BB)
+                        np.asarray(o[0, :1])
+                        ts.append(time.perf_counter() - t0)
+                    med[BB] = sorted(ts)[len(ts) // 2]
+                d_chars = (B_BIG - B_SMALL) * L
+                marginal = (med[B_BIG] - med[B_SMALL]) / d_chars
+                marg[name] = {
+                    f"ms_B{B_SMALL}": round(med[B_SMALL] * 1e3, 1),
+                    f"ms_B{B_BIG}": round(med[B_BIG] * 1e3, 1),
+                    "marginal_mchars_per_s": (
+                        round(1.0 / marginal / 1e6, 1)
+                        if marginal > 0 else None
+                    ),
+                }
+            diagnostics["dispatch_marginal"] = marg
+            _emit(mb_per_sec, chars_per_sec, extra)
+        except Exception as e:
+            print(f"dispatch-marginal phase unavailable: {e}",
+                  file=sys.stderr)
 
         print("phase: steady-state e2e", file=sys.stderr, flush=True)
         # one batch worth of real bytes, streamed repeatedly through the
