@@ -172,6 +172,30 @@ class TestShardedServe:
             outs[name] = out.stdout
         assert outs["dp"] == outs["plain"]
 
+    def test_predict_cli_dp_with_tags_and_scores(self):
+        """--dp composes with the round-3 lean modes (device tag pass,
+        int32 score readback): sharded output identical to unsharded."""
+        import subprocess
+        import sys
+
+        env = {"PATH": "/usr/bin:/bin", "JAX_PLATFORMS": "cpu",
+               "PYTHONPATH": "/root/repo", "HOME": "/root",
+               "XLA_FLAGS": "--xla_force_host_platform_device_count=8"}
+        corpus = "まぁ社長は火星猫だ\nまぁ良いだろう\n火星猫だ\n人だ\n"
+        for extra in (["--predict-tags"], ["--scores"]):
+            outs = {}
+            for name, flags in (("dp", ["--dp", "4"]), ("plain", [])):
+                out = subprocess.run(
+                    [sys.executable, "-m", "vaporetto_tpu.cli.predict",
+                     "--model", "/root/reference/resources/model.bin",
+                     "--batch-size", "4", *extra, *flags],
+                    input=corpus, capture_output=True, text=True,
+                    timeout=560, env=env,
+                )
+                assert out.returncode == 0, out.stderr
+                outs[name] = out.stdout
+            assert outs["dp"] == outs["plain"], extra
+
 
 class TestShardedTraining:
     """Data-parallel training is user-reachable (train --dp N), not just a
