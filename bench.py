@@ -701,6 +701,7 @@ def _measure() -> int:
         try:
             from vaporetto_tpu.native import (
                 TagEmitPlan,
+                detok_native,
                 detok_tags_native,
                 tensorize16_native,
             )
@@ -750,6 +751,21 @@ def _measure() -> int:
             dt = time.perf_counter() - t0
             extra["e2e_tags_steady_mchars_per_s"] = round(
                 n_chars_t * reps / dt / 1e6, 2
+            )
+            # boundary-only e2e over the SAME corpus/shape, so the
+            # tag-path cost ratio is apples-to-apples (short lines make
+            # per-batch overhead dominate BOTH numbers equally)
+            b0 = serve(*tensorize16_native(blob2, st2, en2, Lt))
+            np.asarray(b0[0, :1])
+            t0 = time.perf_counter()
+            for _ in range(reps):
+                bcps, blens = tensorize16_native(blob2, st2, en2, Lt)
+                bnd_b = np.asarray(serve(bcps, blens))
+                data = detok_native(blob2, st2, en2, bnd_b)
+                assert data
+            dtb = time.perf_counter() - t0
+            extra["e2e_boundary_same_corpus_mchars_per_s"] = round(
+                n_chars_t * reps / dtb / 1e6, 2
             )
         except Exception as e:
             print(f"tag e2e unavailable: {e}", file=sys.stderr)

@@ -497,6 +497,9 @@ class Predictor:
                     jnp.where((n >= 2) & (tid >= 0), idx, -1)
                 )
             choice = jnp.stack(choices, axis=-1).astype(jnp.int8)
+            if n_tokens <= 32766:
+                # halve the tid readback (token ids fit int16; -1 = none)
+                tid = tid.astype(jnp.int16)
             return gaps.astype(jnp.int8), tid, choice
 
         return fn, tables
