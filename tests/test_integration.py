@@ -303,3 +303,39 @@ class TestProfileFlag:
         files = glob.glob(str(tmp_path / "tr" / "**" / "*"),
                           recursive=True)
         assert any(os.path.isfile(f) for f in files), files
+
+
+class TestInputOutputFlags:
+    def test_single_process_input_output(self, tmp_path):
+        """--input/--output are honored without --num-processes (both
+        lean and general paths)."""
+        corpus = "まぁ社長は火星猫だ\nまぁ良いだろう\n"
+        (tmp_path / "in.txt").write_text(corpus, encoding="utf-8")
+        env = {"PATH": "/usr/bin:/bin", "JAX_PLATFORMS": "cpu",
+               "PYTHONPATH": "/root/repo", "HOME": "/root"}
+        for flags in ([], ["--no-lean"]):
+            out = subprocess.run(
+                [sys.executable, "-m", "vaporetto_tpu.cli.predict",
+                 "--model", MODEL_BIN,
+                 "--input", str(tmp_path / "in.txt"),
+                 "--output", str(tmp_path / "out.txt"), *flags],
+                stdin=subprocess.DEVNULL, capture_output=True, text=True,
+                timeout=560, env=env,
+            )
+            assert out.returncode == 0, out.stderr
+            got = (tmp_path / "out.txt").read_text(encoding="utf-8")
+            assert got == "まぁ 社長 は 火星 猫 だ\nまぁ 良い だろう\n"
+
+    def test_dp_with_num_processes_rejected(self):
+        env = {"PATH": "/usr/bin:/bin", "JAX_PLATFORMS": "cpu",
+               "PYTHONPATH": "/root/repo", "HOME": "/root"}
+        out = subprocess.run(
+            [sys.executable, "-m", "vaporetto_tpu.cli.predict",
+             "--model", MODEL_BIN, "--num-processes", "2",
+             "--process-id", "0", "--dp", "2",
+             "--input", "/dev/null", "--output", "/tmp/x"],
+            stdin=subprocess.DEVNULL, capture_output=True, text=True,
+            timeout=120, env=env,
+        )
+        assert out.returncode == 2
+        assert "--dp cannot combine" in out.stderr

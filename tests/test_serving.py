@@ -280,11 +280,7 @@ class TestLeanTagsMatchesGeneral:
         pipeline (the conformance contract, resources/docs.tok)."""
         with open("/root/reference/resources/docs.tok", "rb") as f:
             gold = f.read()
-        lines = [
-            ln.replace(b" ", b"").split(b"/")[0].decode("utf-8")
-            for ln in gold.splitlines()
-        ]
-        # strip tags from gold surfaces: rebuild raw text per line
+        # rebuild the raw (untagged) text of each gold line
         raws = []
         with open("/root/reference/resources/docs.tok",
                   encoding="utf-8") as f:

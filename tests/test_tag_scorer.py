@@ -83,11 +83,13 @@ class TestNativeMatchesPython:
         model = Model.read("/root/reference/resources/model.bin")
         with open("/root/reference/resources/docs.tok", encoding="utf-8") as f:
             texts = [
-                line.strip().replace(" ", "").split("/")[0]
+                "".join(
+                    tok.split("/")[0] for tok in line.strip().split(" ")
+                )
                 for line in f
                 if line.strip()
             ]
-        texts = [t.split("/")[0] for t in texts]
+        assert all(len(t) >= 7 for t in texts)  # full multi-token lines
         self._assert_equal_paths(model, texts)
 
     def test_randomized_tagged_model(self):

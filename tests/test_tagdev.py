@@ -88,10 +88,13 @@ class TestDeviceMatchesHost:
         model = Model.read("/root/reference/resources/model.bin")
         with open("/root/reference/resources/docs.tok", encoding="utf-8") as f:
             texts = [
-                line.strip().replace(" ", "").split("/")[0]
+                "".join(
+                    tok.split("/")[0] for tok in line.strip().split(" ")
+                )
                 for line in f
                 if line.strip()
             ]
+        assert all(len(t) >= 7 for t in texts)  # full multi-token lines
         _assert_device_matches_host(model, texts)
 
     def test_randomized_tagged_models(self):

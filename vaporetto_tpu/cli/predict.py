@@ -85,8 +85,12 @@ def main(argv: Optional[List[str]] = None) -> int:
 
 
 def _dispatch_modes(args) -> int:
-
     if args.num_processes is not None and args.num_processes > 1:
+        if args.dp:
+            print("error: --dp cannot combine with --num-processes "
+                  "(the multi-process run already spans every host's "
+                  "devices)", file=sys.stderr)
+            return 2
         start = time.perf_counter()
         rc = _run_dist(args)
         print(f"Elapsed: {time.perf_counter() - start} [sec]",
@@ -103,7 +107,9 @@ def _dispatch_modes(args) -> int:
         predictor.store_tag_scores(True)
 
     print("Start tokenization", file=sys.stderr)
-    out = sys.stdout.buffer
+    # --input/--output are honored in single-process mode too
+    in_b = open(args.input, "rb") if args.input else None
+    out = open(args.output, "wb") if args.output else sys.stdout.buffer
     start = time.perf_counter()
 
     from ..serving import lean_path_supported, lean_tags_supported
@@ -113,7 +119,9 @@ def _dispatch_modes(args) -> int:
         and lean_path_supported(args)
         and (not args.predict_tags or lean_tags_supported(predictor))
     ):
-        rc = _run_lean(args, predictor)
+        rc = _run_lean(args, predictor, in_b, out)
+        if args.output:
+            out.close()
         print(f"Elapsed: {time.perf_counter() - start} [sec]",
               file=sys.stderr)
         return rc
@@ -141,15 +149,24 @@ def _dispatch_modes(args) -> int:
                     s.fill_tags()
             _emit_outputs(args, line, s, out)
 
+    import io
+
+    text_in = (
+        io.TextIOWrapper(in_b, encoding="utf-8", newline="\n")
+        if in_b is not None
+        else sys.stdin
+    )
     batch: List[str] = []
     batch_size = args.batch_size or BATCH
-    for line in iter_lines(sys.stdin):
+    for line in iter_lines(text_in):
         batch.append(line)
         if len(batch) >= batch_size:
             flush_batch(batch)
             batch = []
     if batch:
         flush_batch(batch)
+    if args.output:
+        out.close()
 
     print(f"Elapsed: {time.perf_counter() - start} [sec]", file=sys.stderr)
     return 0
@@ -372,7 +389,6 @@ def _general_dist(args, predictor, shard: bytes, out_b,
         for s in alive:
             if len(s) > max_len:
                 predictor.predict(s)
-        pad = predictor.compiled.pad_left
         stream = (
             (i, norm[i])
             for i, s in enumerate(sents)
@@ -391,20 +407,13 @@ def _general_dist(args, predictor, shard: bytes, out_b,
             for r, idx in enumerate(batch.line_indices.tolist()):
                 if idx < 0:
                     continue
-                s = sents[idx]
-                n = len(s)
-                s.score_padding = pad
-                s.boundary_scores = scores[
-                    r, : pad + max(n - 1, 0) + 1
-                ].copy()
-                s.boundaries = (scores[r, pad : pad + n - 1] > 0).astype(
-                    np.uint8
+                predictor.assign_result_row(
+                    sents[idx],
+                    scores[r],
+                    cm[r] if cm is not None else None,
+                    tm[r] if tm is not None else None,
                 )
-                if cm is not None:
-                    s.char_pma_states = cm[r, :n].astype(np.int32)
-                if tm is not None:
-                    s.type_pma_states = tm[r, :n].astype(np.int32)
-                s.set_predictor(predictor)
+        predictor.debug_verify(alive)
     for line, s in zip(text_lines, sents):
         if s is not None:
             for f in post_filters:

@@ -666,18 +666,35 @@ class Predictor:
         scores = np.asarray(scores)
         char_match = np.asarray(char_match) if char_match is not None else None
         type_match = np.asarray(type_match) if type_match is not None else None
-        pad = self.compiled.pad_left
         for i, s in enumerate(sentences):
-            n = len(s)
-            s.score_padding = pad
-            s.boundary_scores = scores[i, : pad + max(n - 1, 0) + 1].copy()
-            exposed = scores[i, pad : pad + n - 1]
-            s.boundaries = (exposed > 0).astype(np.uint8)
-            if char_match is not None:
-                s.char_pma_states = char_match[i, :n].astype(np.int32)
-            if type_match is not None:
-                s.type_pma_states = type_match[i, :n].astype(np.int32)
-            s.set_predictor(self)
+            self.assign_result_row(
+                s,
+                scores[i],
+                char_match[i] if char_match is not None else None,
+                type_match[i] if type_match is not None else None,
+            )
+        self.debug_verify(sentences)
+
+    def assign_result_row(self, s: Sentence, scores_row,
+                          cm_row=None, tm_row=None) -> None:
+        """Apply one padded score row (and optional match-state rows) to
+        a sentence — the single place that knows the score/padding
+        layout, shared by predict_batch and the distributed general path
+        so the two cannot drift."""
+        n = len(s)
+        pad = self.compiled.pad_left
+        s.score_padding = pad
+        s.boundary_scores = scores_row[: pad + max(n - 1, 0) + 1].copy()
+        s.boundaries = (scores_row[pad : pad + n - 1] > 0).astype(np.uint8)
+        if cm_row is not None:
+            s.char_pma_states = cm_row[:n].astype(np.int32)
+        if tm_row is not None:
+            s.type_pma_states = tm_row[:n].astype(np.int32)
+        s.set_predictor(self)
+
+    def debug_verify(self, sentences: Sequence[Sentence]) -> None:
+        """Cross-check device results against the numpy oracle when
+        VAPORETTO_TPU_DEBUG_CHECKS=1 (no-op otherwise)."""
         from .utils.observe import debug_checks_enabled
 
         if debug_checks_enabled():
