@@ -135,6 +135,16 @@ def main() -> int:
             f"Wall-clock rows share {host_cores} physical cores."
         ),
     }))
+
+    # A wall-clock 2-process scaling number was prototyped here and
+    # REMOVED: on this 2-core CI box the measurement is dominated by
+    # per-process XLA-CPU compile time and core contention (observed
+    # 12 s and 184 s for identical runs) — noise, not scaling signal.
+    # The multi-process path's correctness is pinned by
+    # tests/test_distributed.py (real 2-process jax.distributed runs of
+    # predict/evaluate/train, byte-equal to single-process); its scaling
+    # argument is the structural one above (zero collectives; each
+    # process runs the identical program on its corpus shard).
     return 0
 
 

@@ -339,3 +339,32 @@ class TestInputOutputFlags:
         )
         assert out.returncode == 2
         assert "--dp cannot combine" in out.stderr
+
+
+class TestDictionaryProbe:
+    def test_replace_dict_changes_segmentation_both_paths(self, tmp_path):
+        """The verify-recipe dictionary probe: adding 星猫 with inside
+        weight -99999 flips gap 星|猫 (32767 -> -67232) and merges
+        火星猫 — on the lean AND general paths."""
+        csv_path = tmp_path / "dict.csv"
+        csv_path.write_text("word,weights,comment\n星猫,0 -99999 0,x\n",
+                            encoding="utf-8")
+        env = {"PATH": "/usr/bin:/bin", "JAX_PLATFORMS": "cpu",
+               "PYTHONPATH": "/root/repo", "HOME": "/root"}
+        probe = tmp_path / "probe.bin"
+        out = subprocess.run(
+            [sys.executable, "-m", "vaporetto_tpu.cli.manipulate_model",
+             "--model-in", MODEL_BIN, "--replace-dict", str(csv_path),
+             "--model-out", str(probe)],
+            capture_output=True, text=True, timeout=300, env=env,
+        )
+        assert out.returncode == 0, out.stderr
+        for flags in ([], ["--no-lean"]):
+            out = subprocess.run(
+                [sys.executable, "-m", "vaporetto_tpu.cli.predict",
+                 "--model", str(probe), *flags],
+                input="まぁ社長は火星猫だ\n", capture_output=True,
+                text=True, timeout=560, env=env,
+            )
+            assert out.returncode == 0, out.stderr
+            assert out.stdout == "まぁ 社長 は 火星猫 だ\n", flags

@@ -91,11 +91,7 @@ def _dispatch_modes(args) -> int:
                   "(the multi-process run already spans every host's "
                   "devices)", file=sys.stderr)
             return 2
-        start = time.perf_counter()
-        rc = _run_dist(args)
-        print(f"Elapsed: {time.perf_counter() - start} [sec]",
-              file=sys.stderr)
-        return rc
+        return _run_dist(args)
 
     pre_filter = KyteaFullwidthFilter()
     post_filters = build_post_filters(args.wsconst)
@@ -333,17 +329,25 @@ def _run_dist(args) -> int:
     )
 
     print("Start tokenization", file=sys.stderr)
+    # Elapsed covers tokenization only (the reference's wall-clock
+    # contract, predict/src/main.rs:124,183-185) — not jax.distributed
+    # init or model load, so per-process numbers compare fairly with
+    # the single-process run
+    start = time.perf_counter()
     from ..serving import lean_path_supported, lean_tags_supported
 
+    rc = 0
     with open(f"{args.output}.part{pid}", "wb") as out_b:
         if (
             not args.no_lean
             and lean_path_supported(args)
             and (not args.predict_tags or lean_tags_supported(predictor))
         ):
-            return _run_lean(args, predictor, io.BytesIO(shard), out_b)
-        _general_dist(args, predictor, shard, out_b, unterminated_tail)
-    return 0
+            rc = _run_lean(args, predictor, io.BytesIO(shard), out_b)
+        else:
+            _general_dist(args, predictor, shard, out_b, unterminated_tail)
+    print(f"Elapsed: {time.perf_counter() - start} [sec]", file=sys.stderr)
+    return rc
 
 
 def _general_dist(args, predictor, shard: bytes, out_b,
