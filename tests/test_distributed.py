@@ -49,18 +49,23 @@ class TestTwoProcessEvaluate:
             "--num-processes", "2", "--process-id", str(pid),
         ]
 
-    @pytest.mark.parametrize("metric,port", [("char", 29811),
-                                             ("word", 29812)])
-    def test_matches_single_process(self, metric, port):
-        r0, r1 = _run_pair(self._argv(0, port, metric),
-                           self._argv(1, port, metric))
+    @pytest.mark.parametrize("metric,port,extra", [
+        ("char", 29811, []),
+        ("word", 29812, []),
+        # word metric with tag matching (Nagata word F1 incl. tags):
+        # exercises the tag pass + allreduce across processes
+        ("word", 29819, ["--predict-tags"]),
+    ])
+    def test_matches_single_process(self, metric, port, extra):
+        r0, r1 = _run_pair(self._argv(0, port, metric) + extra,
+                           self._argv(1, port, metric) + extra)
         assert r0.returncode == 0, r0.stderr
         assert r1.returncode == 0, r1.stderr
         with open(DOCS_TOK) as f:
             gold = f.read()
         single = subprocess.run(
             [sys.executable, "-m", "vaporetto_tpu.cli.evaluate",
-             "--model", MODEL_BIN, "--metric", metric],
+             "--model", MODEL_BIN, "--metric", metric, *extra],
             input=gold, capture_output=True, text=True, timeout=180,
             env=ENV,
         )
