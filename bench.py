@@ -143,7 +143,8 @@ def _gen_corpus(path: str, n_lines: int = 81920, line_len: int = 200) -> int:
     return reps * len(uniq) * line_len
 
 
-def _measure_e2e_cli(model_path: str, timeout: float = 420) -> float:
+def _measure_e2e_cli(model_path: str, timeout: float = 420,
+                     extra_args=()) -> float:
     """The shipped predict CLI as a subprocess; Mchars/s from its own
     Elapsed line. Includes the tunnel's first-readback penalty.
 
@@ -155,7 +156,8 @@ def _measure_e2e_cli(model_path: str, timeout: float = 420) -> float:
     with open(corpus, "rb") as fin, open(os.devnull, "wb") as devnull:
         out = subprocess.run(
             [sys.executable, "-m", "vaporetto_tpu.cli.predict",
-             "--model", model_path, "--batch-size", "8192"],
+             "--model", model_path, "--batch-size", "8192",
+             *extra_args],
             stdin=fin, stdout=devnull, stderr=subprocess.PIPE,
             timeout=timeout, cwd=os.path.dirname(__file__) or ".",
         )
@@ -426,6 +428,30 @@ def _measure() -> int:
         return (peak_gb is None
                 or chars_s * bytes_per_char / 1e9 <= 1.05 * peak_gb)
 
+    # ---- native host C++ evaluator (no device involved) ---------------
+    # the hybrid-dispatch engine (native/host_predictor.cc); on this
+    # environment's degraded device it is the framework's fastest
+    # engine, so the driver record carries its number too
+    try:
+        from vaporetto_tpu.native import NativeHostPredictor
+
+        host = NativeHostPredictor(pred.compiled)
+        hl = 1_000_000
+        hcps = pools[rng.integers(0, len(pools), hl)].astype(np.int32)
+        hcts = char_types_of_codepoints(hcps[None, :])[0].astype(np.uint8)
+        # full-size warm-up: the first call at a new size pays scratch-
+        # buffer page faults (the round-2 allocation cliff)
+        host.predict_batch([hcps], [hcts], n_threads=1)
+        t0 = time.perf_counter()
+        for _ in range(3):
+            host.predict_batch([hcps], [hcts], n_threads=1)
+        hdt = time.perf_counter() - t0
+        diagnostics["host_engine_mchars_per_s_1core"] = round(
+            3 * hl / hdt / 1e6, 1
+        )
+    except Exception as e:
+        print(f"host-engine phase unavailable: {e}", file=sys.stderr)
+
     # phase 0 hedge: the plain (8192, 256) programs are in the persistent
     # compile cache from day one — a quick host-side pipelined loop on
     # them emits a first JSON before ANY new compile is attempted, so a
@@ -682,6 +708,21 @@ def _measure() -> int:
     except Exception as e:
         print(f"steady-state e2e unavailable: {e}", file=sys.stderr)
     _emit(mb_per_sec, chars_per_sec, extra)
+
+    # ---- whole-CLI via the native HOST engine (no device) --------------
+    # the one-call C++ serving path (`--backend host`); on this
+    # environment's degraded device this is the shipped CLI's fastest
+    # configuration and the honest comparison point against the
+    # reference's ~40 Mchar/s single-core wall-clock estimate
+    try:
+        print("phase: e2e CLI (host engine)", file=sys.stderr, flush=True)
+        extra["e2e_cli_host_mchars_per_s"] = round(
+            _measure_e2e_cli(model_path, timeout=240,
+                             extra_args=("--backend", "host")), 2
+        )
+        _emit(mb_per_sec, chars_per_sec, extra)
+    except Exception as e:
+        print(f"host-engine CLI e2e unavailable: {e}", file=sys.stderr)
 
     # ---- whole-CLI subprocess (pays its own first-readback tax) --------
     # skipped when the watchdog deadline can't cover another first

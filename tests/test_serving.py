@@ -556,3 +556,63 @@ class TestLeanFuzz:
         lines = self._lines(seed)
         assert lean_path_scores(bundled_pred, lines, batch_lines=8) == \
             general_path_scores(bundled_pred, lines)
+
+
+# ---------------------------------------------------------------------------
+# lean HOST engine (round 3: native C++ serving path, no device)
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def host_pred():
+    pred = Predictor(
+        Model.read("/root/reference/resources/model.bin"), backend="host"
+    )
+    if pred._host() is None:
+        pytest.skip("native host engine unavailable")
+    return pred
+
+
+class TestLeanHostEngine:
+    def test_boundaries_match_general(self, host_pred, bundled_pred):
+        for kwargs in (
+            {},
+            {"normalize": False},
+            {"wsconst": (int(CharacterType.KANJI),)},
+        ):
+            want = general_path(bundled_pred, CORPUS, **kwargs)
+            got = lean_path(host_pred, CORPUS, **kwargs)
+            assert got == want, kwargs
+
+    def test_scores_match_general(self, host_pred, bundled_pred):
+        from vaporetto_tpu.native import scores_detok_available
+
+        if not scores_detok_available():
+            pytest.skip("native scores formatter unavailable")
+        want = general_path_scores(bundled_pred, CORPUS)
+        got = lean_path_scores(host_pred, CORPUS)
+        assert got == want
+        assert "5:火星 -21407".encode() in got
+
+    def test_grapheme_and_fuzz(self, host_pred, bundled_pred):
+        t = TestLeanGraphemeFilter()
+        lines = t.LINES + TestLeanFuzz()._lines(9)
+        from vaporetto_tpu.serving import LeanServer
+
+        want = t._general(bundled_pred, lines)
+        sink = io.BytesIO()
+
+        def fallback(raw):
+            sink.write(t._general(
+                bundled_pred, [b.decode("utf-8") for b in raw]
+            ))
+
+        LeanServer(
+            host_pred, grapheme=True, batch_lines=8, fallback=fallback,
+        ).run(io.BytesIO(("\n".join(lines) + "\n").encode("utf-8")), sink)
+        assert sink.getvalue() == want
+
+    def test_fuzz_boundaries(self, host_pred, bundled_pred):
+        lines = TestLeanFuzz()._lines(10, n=60)
+        assert lean_path(host_pred, lines, batch_lines=8) == \
+            general_path(bundled_pred, lines)

@@ -114,6 +114,7 @@ def _dispatch_modes(args) -> int:
         not args.no_lean
         and lean_path_supported(args)
         and (not args.predict_tags or lean_tags_supported(predictor))
+        and (args.backend != "host" or predictor._host() is not None)
     ):
         rc = _run_lean(args, predictor, in_b, out)
         if args.output:
@@ -223,7 +224,10 @@ def _run_lean(args, predictor, infile=None, out_b=None) -> int:
             raise bad_utf8
 
     mesh = None
-    if args.dp:
+    if args.dp and args.backend == "host":
+        print("warning: --dp has no effect with --backend host; ignored",
+              file=sys.stderr)
+    elif args.dp:
         from ..parallel.mesh import make_mesh
 
         mesh = make_mesh(args.dp)
@@ -342,6 +346,7 @@ def _run_dist(args) -> int:
             not args.no_lean
             and lean_path_supported(args)
             and (not args.predict_tags or lean_tags_supported(predictor))
+            and (args.backend != "host" or predictor._host() is not None)
         ):
             rc = _run_lean(args, predictor, io.BytesIO(shard), out_b)
         else:

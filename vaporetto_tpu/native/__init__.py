@@ -88,6 +88,29 @@ def _load() -> Optional[ctypes.CDLL]:
         ctypes.c_int64,
         ctypes.c_int32,
     ]
+    if hasattr(lib, "vt_host_serve_padded"):
+        lib.vt_host_serve_padded.restype = ctypes.c_int
+        lib.vt_host_serve_padded.argtypes = [
+            ctypes.c_void_p,
+            ctypes.POINTER(ctypes.c_uint16),  # cps (B, L)
+            ctypes.POINTER(ctypes.c_int32),   # lengths
+            ctypes.c_int64,                   # B
+            ctypes.c_int32,                   # L
+            ctypes.POINTER(ctypes.c_int32),   # ws_types
+            ctypes.c_int32,                   # n_ws
+            ctypes.POINTER(ctypes.c_int8),    # out_bnd
+            ctypes.POINTER(ctypes.c_int32),   # out_scores (nullable)
+            ctypes.c_int32,                   # n_threads
+        ]
+    if hasattr(lib, "vt_count_chars"):
+        lib.vt_count_chars.restype = None
+        lib.vt_count_chars.argtypes = [
+            ctypes.POINTER(ctypes.c_uint8),
+            ctypes.POINTER(ctypes.c_int64),
+            ctypes.POINTER(ctypes.c_int64),
+            ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_int32),
+        ]
     if hasattr(lib, "vt_detok_scores"):
         lib.vt_detok_scores.restype = ctypes.c_int64
         lib.vt_detok_scores.argtypes = [
@@ -487,20 +510,79 @@ class NativeHostPredictor:
         with self._lock:
             return self._predict_batch_locked(cps_list, cts_list, n_threads)
 
+    def serve_padded(self, cps, lengths, ws_types=(), want_scores=False,
+                     n_threads: int = 0):
+        """One-call lean host serving over a padded (B, L) uint16 batch:
+        returns int8 gap labels (B, L-1) [+ int32 gap scores] — the C++
+        twin of the device serve kernel (vt_host_serve_padded)."""
+        if not hasattr(self._lib, "vt_host_serve_padded"):
+            return None
+        cps = np.ascontiguousarray(cps, dtype=np.uint16)
+        lengths = np.ascontiguousarray(lengths, dtype=np.int32)
+        B, L = cps.shape
+        ws = np.asarray(sorted(ws_types), dtype=np.int32)
+        bnd = np.empty((B, max(L - 1, 0)), dtype=np.int8)
+        sc = (
+            np.empty((B, max(L - 1, 0)), dtype=np.int32)
+            if want_scores else None
+        )
+        I32P = ctypes.POINTER(ctypes.c_int32)
+        with self._lock:
+            rc = self._lib.vt_host_serve_padded(
+                self._h,
+                cps.ctypes.data_as(ctypes.POINTER(ctypes.c_uint16)),
+                lengths.ctypes.data_as(I32P),
+                B,
+                L,
+                ws.ctypes.data_as(I32P) if len(ws) else None,
+                len(ws),
+                bnd.ctypes.data_as(ctypes.POINTER(ctypes.c_int8)),
+                sc.ctypes.data_as(I32P) if sc is not None else None,
+                n_threads,
+            )
+        if rc != 0:
+            return None
+        return (bnd, sc) if want_scores else bnd
+
+    def predict_flat(self, cps_flat, cts_flat, offsets,
+                     n_threads: int = 0):
+        """Like :meth:`predict_batch` but over already-flattened streams
+        (``offsets``: n+1 int64 prefix sums) — the lean host serving
+        path's entry, skipping the per-sentence Python packing loop."""
+        with self._lock:
+            return self._predict_flat_locked(
+                np.ascontiguousarray(cps_flat, dtype=np.int32),
+                np.ascontiguousarray(cts_flat, dtype=np.uint8),
+                np.ascontiguousarray(offsets, dtype=np.int64),
+                n_threads,
+            )
+
     def _predict_batch_locked(self, cps_list, cts_list, n_threads: int = 0):
         n = len(cps_list)
         lens = np.fromiter((len(c) for c in cps_list), np.int64, n)
         offsets = np.zeros(n + 1, dtype=np.int64)
         np.cumsum(lens, out=offsets[1:])
-        s_sizes = self.pad_left + np.maximum(lens - 1, 0) + self.pad_right
-        score_offsets = np.zeros(n + 1, dtype=np.int64)
-        np.cumsum(s_sizes, out=score_offsets[1:])
         total = int(offsets[-1])
         cps_flat = self._scratch("cps", max(total, 1), np.int32)
         cts_flat = self._scratch("cts", max(total, 1), np.uint8)
         for i, (c, t) in enumerate(zip(cps_list, cts_list)):
             cps_flat[offsets[i] : offsets[i + 1]] = c
             cts_flat[offsets[i] : offsets[i + 1]] = t
+        return self._predict_flat_locked(
+            cps_flat, cts_flat, offsets, n_threads
+        )
+
+    def _predict_flat_locked(self, cps_flat, cts_flat, offsets,
+                             n_threads: int = 0):
+        n = len(offsets) - 1
+        lens = offsets[1:] - offsets[:-1]
+        s_sizes = self.pad_left + np.maximum(lens - 1, 0) + self.pad_right
+        score_offsets = np.zeros(n + 1, dtype=np.int64)
+        np.cumsum(s_sizes, out=score_offsets[1:])
+        total = int(offsets[-1])
+        if total == 0:
+            cps_flat = self._scratch("cps", 1, np.int32)
+            cts_flat = self._scratch("cts", 1, np.uint8)
         scores_flat = self._scratch(
             "scores", max(int(score_offsets[-1]), 1), np.int32
         )
@@ -1151,6 +1233,29 @@ def scores_detok_available() -> bool:
     return lib is not None and hasattr(lib, "vt_detok_scores")
 
 
+def count_chars_native(
+    blob: np.ndarray, starts: np.ndarray, ends: np.ndarray
+) -> Optional[np.ndarray]:
+    """Per-line UTF-8 char counts (int32), or None without the lib."""
+    lib = _load()
+    if lib is None or not hasattr(lib, "vt_count_chars"):
+        return None
+    n = len(starts)
+    starts = np.ascontiguousarray(starts, dtype=np.int64)
+    ends = np.ascontiguousarray(ends, dtype=np.int64)
+    counts = np.empty(n, dtype=np.int32)
+    buf = blob if blob.size else np.zeros(1, dtype=np.uint8)
+    I64P = ctypes.POINTER(ctypes.c_int64)
+    lib.vt_count_chars(
+        buf.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        starts.ctypes.data_as(I64P),
+        ends.ctypes.data_as(I64P),
+        n,
+        counts.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+    )
+    return counts
+
+
 def detok_scores_native(
     blob: np.ndarray,  # uint8 ORIGINAL UTF-8 bytes
     starts: np.ndarray,  # int64 (n_lines,)
@@ -1205,8 +1310,16 @@ def detok_native(
     ends: np.ndarray,  # int64 (n_lines,)
     boundaries: np.ndarray,  # int8 (n_lines, L-1) predicted gap labels
     n_threads: int = 0,
-) -> Optional[bytes]:
-    """Tokenized-text writer: spaces at boundaries + reference escaping."""
+    scratch: Optional[dict] = None,
+):
+    """Tokenized-text writer: spaces at boundaries + reference escaping.
+
+    With ``scratch`` (a caller-held dict), the output buffer is reused
+    across calls and a zero-copy ``memoryview`` is returned (valid until
+    the next call with the same scratch) — the lean server's hot path,
+    avoiding a ~13 MB allocation + copy per batch. Without it, a fresh
+    ``bytes`` is returned.
+    """
     lib = _load()
     if lib is None:
         return None
@@ -1217,7 +1330,13 @@ def detok_native(
     Lm1 = boundaries.shape[1] if boundaries.ndim == 2 else 0
     total = int((ends - starts).sum())
     cap = 2 * total + n * (Lm1 + 1) + 1
-    out = np.empty(cap, dtype=np.uint8)
+    if scratch is not None:
+        out = scratch.get("detok")
+        if out is None or out.size < cap:
+            out = np.empty(int(cap * 5 // 4) + 16, dtype=np.uint8)
+            scratch["detok"] = out
+    else:
+        out = np.empty(cap, dtype=np.uint8)
     buf = blob if blob.size else np.zeros(1, dtype=np.uint8)
     I64P = ctypes.POINTER(ctypes.c_int64)
     written = lib.vt_detok(
@@ -1233,4 +1352,6 @@ def detok_native(
     )
     if written < 0:
         return None
+    if scratch is not None:
+        return memoryview(out)[:written]
     return out[:written].tobytes()

@@ -245,6 +245,100 @@ int vt_host_predict(void* hp, const int32_t* cps, const uint8_t* cts,
   return 0;
 }
 
+namespace {
+
+// duplicated from tensorizer.cc (anonymous namespaces; reference
+// CharacterType::get_type ranges, sentence.rs:50-67)
+inline uint8_t serve_char_type(uint32_t c) {
+  if ((c >= 0x30 && c <= 0x39) || (c >= 0xFF10 && c <= 0xFF19)) return 1;
+  if ((c >= 0x41 && c <= 0x5A) || (c >= 0x61 && c <= 0x7A) ||
+      (c >= 0xFF21 && c <= 0xFF3A) || (c >= 0xFF41 && c <= 0xFF5A))
+    return 2;
+  if (c >= 0x3040 && c <= 0x3096) return 3;
+  if ((c >= 0x30A0 && c <= 0x30FA) || (c >= 0x30FC && c <= 0x30FF) ||
+      (c >= 0xFF66 && c <= 0xFF9F))
+    return 4;
+  if ((c >= 0x3400 && c <= 0x4DBF) || (c >= 0x4E00 && c <= 0x9FFF) ||
+      (c >= 0xF900 && c <= 0xFAFF) || (c >= 0x20000 && c <= 0x2A6DF) ||
+      (c >= 0x2A700 && c <= 0x2B73F) || (c >= 0x2B740 && c <= 0x2B81F) ||
+      (c >= 0x2B820 && c <= 0x2CEAF) || (c >= 0x2F800 && c <= 0x2FA1F))
+    return 5;
+  return 6;
+}
+
+}  // namespace
+
+// Lean HOST serving in one call: padded (B, L) uint16 codepoints +
+// lengths -> int8 gap labels (B, L-1) with wsconst fused, optionally the
+// raw int32 gap scores. Per row: widen, classify char types, run the
+// sequential predictor, threshold — the C++ twin of the device serve
+// kernel for `--backend host` (no numpy glue on the hot path).
+int vt_host_serve_padded(void* hp, const uint16_t* cps,
+                         const int32_t* lengths, int64_t B, int32_t L,
+                         const int32_t* ws_types, int32_t n_ws,
+                         int8_t* out_bnd, int32_t* out_scores,
+                         int32_t n_threads) {
+  auto* h = static_cast<HostPredictor*>(hp);
+  const int32_t Lm1 = L - 1;
+  auto work = [&](int64_t lo, int64_t hi) {
+    std::vector<int32_t> cps32(L), cm(L), tm(L);
+    std::vector<int32_t> scores(h->pad_left + (L > 0 ? L - 1 : 0) +
+                                h->pad_right + 8);
+    std::vector<uint8_t> cts(L);
+    for (int64_t row = lo; row < hi; ++row) {
+      int32_t n = lengths[row];
+      if (n > L) n = L;
+      const uint16_t* src = cps + row * L;
+      for (int32_t i = 0; i < n; ++i) {
+        cps32[i] = src[i];
+        cts[i] = serve_char_type(src[i]);
+      }
+      vt_host_predict(hp, cps32.data(), cts.data(), n, scores.data(),
+                      cm.data(), tm.data());
+      int8_t* bnd = out_bnd + row * Lm1;
+      int32_t* sc = out_scores ? out_scores + row * Lm1 : nullptr;
+      int32_t i = 0;
+      for (; i + 1 < n; ++i) {
+        int32_t v = scores[h->pad_left + i];
+        int8_t b = v > 0;
+        if (b && n_ws) {
+          for (int32_t k = 0; k < n_ws; ++k) {
+            if (cts[i] == ws_types[k] && cts[i + 1] == ws_types[k]) {
+              b = 0;
+              break;
+            }
+          }
+        }
+        bnd[i] = b;
+        if (sc) sc[i] = v;
+      }
+      for (; i < Lm1; ++i) {
+        bnd[i] = 0;
+        if (sc) sc[i] = 0;
+      }
+    }
+  };
+  if (n_threads <= 0) {
+    n_threads = static_cast<int32_t>(std::thread::hardware_concurrency());
+    if (n_threads <= 0) n_threads = 1;
+  }
+  if (n_threads > B) n_threads = static_cast<int32_t>(B);
+  if (n_threads <= 1) {
+    work(0, B);
+    return 0;
+  }
+  std::vector<std::thread> threads;
+  int64_t per = (B + n_threads - 1) / n_threads;
+  for (int32_t t = 0; t < n_threads; ++t) {
+    int64_t lo = t * per;
+    int64_t hi = lo + per < B ? lo + per : B;
+    if (lo >= hi) break;
+    threads.emplace_back(work, lo, hi);
+  }
+  for (auto& th : threads) th.join();
+  return 0;
+}
+
 // Batched prediction: all lines in flat arrays, one call. `offsets` has
 // n_lines+1 entries delimiting each line's codepoints/char-types;
 // `score_offsets` (n_lines+1) delimits each line's

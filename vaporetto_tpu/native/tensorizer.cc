@@ -101,11 +101,13 @@ int vt_tensorize(const uint8_t* utf8, const int64_t* line_offsets,
 // input chunk without compaction.
 // Returns 0 ok; 1 invalid UTF-8; 2 astral codepoint present (caller falls
 // back to the int32 path); 3 a line exceeds L chars (caller falls back).
-int vt_tensorize16(const uint8_t* utf8, const int64_t* starts,
-                   const int64_t* ends, int64_t n_lines, int32_t L,
-                   const uint16_t* map_bmp, uint16_t* cps,
-                   int32_t* lengths) {
-  for (int64_t row = 0; row < n_lines; ++row) {
+namespace {
+
+int tensorize16_rows(const uint8_t* utf8, const int64_t* starts,
+                     const int64_t* ends, int64_t row_lo, int64_t row_hi,
+                     int32_t L, const uint16_t* map_bmp, uint16_t* cps,
+                     int32_t* lengths) {
+  for (int64_t row = row_lo; row < row_hi; ++row) {
     const uint8_t* p = utf8 + starts[row];
     const uint8_t* end = utf8 + ends[row];
     uint16_t* cp_row = cps + row * L;
@@ -144,6 +146,71 @@ int vt_tensorize16(const uint8_t* utf8, const int64_t* starts,
     std::memset(cp_row + n, 0, sizeof(uint16_t) * (L - n));
   }
   return 0;
+}
+
+}  // namespace
+
+int vt_tensorize16(const uint8_t* utf8, const int64_t* starts,
+                   const int64_t* ends, int64_t n_lines, int32_t L,
+                   const uint16_t* map_bmp, uint16_t* cps,
+                   int32_t* lengths) {
+  int32_t n_threads =
+      static_cast<int32_t>(std::thread::hardware_concurrency());
+  if (n_threads <= 1 || n_lines < 1024) {
+    return tensorize16_rows(utf8, starts, ends, 0, n_lines, L, map_bmp,
+                            cps, lengths);
+  }
+  if (n_threads > 8) n_threads = 8;
+  std::vector<int> rcs(n_threads, 0);
+  std::vector<std::thread> threads;
+  int64_t per = (n_lines + n_threads - 1) / n_threads;
+  for (int32_t t = 0; t < n_threads; ++t) {
+    int64_t lo = t * per;
+    int64_t hi = lo + per < n_lines ? lo + per : n_lines;
+    if (lo >= hi) break;
+    threads.emplace_back([&, t, lo, hi]() {
+      rcs[t] = tensorize16_rows(utf8, starts, ends, lo, hi, L, map_bmp,
+                                cps, lengths);
+    });
+  }
+  for (auto& th : threads) th.join();
+  for (int rc : rcs)
+    if (rc != 0) return rc;
+  return 0;
+}
+
+// Per-line UTF-8 char counts (number of non-continuation bytes in each
+// [start, end) range) — the lean server's bucketing input, replacing a
+// full-chunk numpy cumsum that profiled as the host pipeline's hottest
+// stage.
+void vt_count_chars(const uint8_t* utf8, const int64_t* starts,
+                    const int64_t* ends, int64_t n_lines,
+                    int32_t* counts) {
+  auto work = [&](int64_t lo, int64_t hi) {
+    for (int64_t row = lo; row < hi; ++row) {
+      const uint8_t* p = utf8 + starts[row];
+      const uint8_t* end = utf8 + ends[row];
+      int32_t n = 0;
+      for (; p < end; ++p) n += (*p & 0xC0) != 0x80;
+      counts[row] = n;
+    }
+  };
+  int32_t n_threads =
+      static_cast<int32_t>(std::thread::hardware_concurrency());
+  if (n_threads <= 1 || n_lines < 1024) {
+    work(0, n_lines);
+    return;
+  }
+  if (n_threads > 8) n_threads = 8;
+  std::vector<std::thread> threads;
+  int64_t per = (n_lines + n_threads - 1) / n_threads;
+  for (int32_t t = 0; t < n_threads; ++t) {
+    int64_t lo = t * per;
+    int64_t hi = lo + per < n_lines ? lo + per : n_lines;
+    if (lo >= hi) break;
+    threads.emplace_back(work, lo, hi);
+  }
+  for (auto& th : threads) th.join();
 }
 
 // Detokenize: insert spaces into the ORIGINAL UTF-8 lines at predicted

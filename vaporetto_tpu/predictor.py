@@ -224,6 +224,77 @@ class Predictor:
 
         return fn, tables
 
+    def _serve_host_core(self, wsconst_types: Tuple[int, ...],
+                         want_scores: bool):
+        """Shared implementation of the lean HOST serving functions: the
+        native C++ engine (host_predictor.cc) evaluated over the padded
+        uint16 batches the lean pipeline produces — same inputs/outputs
+        as the device kernels, no device involved. This makes
+        ``--backend host`` a full bytes->bytes native pipeline (the
+        fastest engine on hosts without accelerators; reference
+        whole-pipeline contract predict/src/main.rs:124,183-185)."""
+        host = self._host()
+        if host is None:
+            raise RuntimeError("native host engine unavailable")
+        from .sentence import _CHAR_TYPE_TABLE_SMALL
+
+        table = _CHAR_TYPE_TABLE_SMALL
+        pad = self.compiled.pad_left
+        ws = tuple(sorted(wsconst_types))
+
+        def fn(cps, lengths):
+            # fast lane: the whole serve (widen + classify + predict +
+            # threshold + wsconst) as ONE native call
+            res = host.serve_padded(cps, lengths, ws, want_scores)
+            if res is not None:
+                return res
+            return _numpy_fn(cps, lengths)
+
+        def _numpy_fn(cps, lengths):
+            cps = np.asarray(cps)  # (B, L) uint16 (lean tensorizer)
+            lengths = np.asarray(lengths, dtype=np.int64)
+            B, L = cps.shape
+            iota = np.arange(L)
+            mask = iota[None, :] < lengths[:, None]
+            cps_flat = cps[mask]  # uint16; widened once, flat, below
+            cts_flat = table[cps_flat]
+            offsets = np.zeros(B + 1, dtype=np.int64)
+            np.cumsum(lengths, out=offsets[1:])
+            scores_flat, s_offs, _, _, _ = host.predict_flat(
+                cps_flat, cts_flat, offsets
+            )
+            # ragged gap extraction as ONE dense 2D gather: row i's gap
+            # j lives at s_offs[i] + pad + j; out-of-line columns read
+            # neighboring (garbage) slots that the validity mask zeroes,
+            # with a global clip guarding the flat array's end
+            iota_g = np.arange(L - 1, dtype=np.int64)
+            src = (s_offs[:-1] + pad)[:, None] + iota_g[None, :]
+            np.minimum(src, len(scores_flat) - 1, out=src)
+            vals2d = scores_flat[src]
+            valid = iota_g[None, :] < (lengths[:, None] - 1)
+            bnd = ((vals2d > 0) & valid).astype(np.int8)
+            if wsconst_types:
+                cts_pad = table[cps]
+                for wt in wsconst_types:
+                    bnd[
+                        (cts_pad[:, :-1] == wt) & (cts_pad[:, 1:] == wt)
+                    ] = 0
+            if not want_scores:
+                return bnd
+            sc = np.where(valid, vals2d, 0).astype(np.int32)
+            return bnd, sc
+
+        return fn
+
+    def serve_boundaries_host_fn(self, wsconst_types: Tuple[int, ...] = ()):
+        """Host-engine twin of :meth:`serve_boundaries_fn` (numpy in/out,
+        byte-identical results)."""
+        return self._serve_host_core(tuple(sorted(wsconst_types)), False)
+
+    def serve_scores_host_fn(self, wsconst_types: Tuple[int, ...] = ()):
+        """Host-engine twin of :meth:`serve_scores_fn`."""
+        return self._serve_host_core(tuple(sorted(wsconst_types)), True)
+
     def serve_scores_traced_fn(self, wsconst_types: Tuple[int, ...] = ()):
         """Lean serving variant that also returns the raw int32 gap
         scores: ``fn(cps, lengths, tables) -> (boundaries int8 (B, L-1),

@@ -57,9 +57,13 @@ def lean_path_supported(args_like) -> bool:
         # the device tag pass derives token spans from the pre-G
         # boundaries; LeanServer rejects the combination too
         return False
+    backend = getattr(args_like, "backend", "device")
+    if backend == "host" and args_like.predict_tags:
+        # host tags stay on the general path (batched C++ tag scorer)
+        return False
     return (
         not args_like.tag_scores
-        and getattr(args_like, "backend", "device") == "device"
+        and backend in ("device", "host")
         and all(w in _WSCONST_FAST for w in args_like.wsconst)
         and available()
     )
@@ -155,6 +159,11 @@ class LeanServer:
         self.tags = bool(tags)
         self.scores = bool(scores)
         self.grapheme = bool(grapheme)
+        host_engine = getattr(predictor, "backend", "device") == "host"
+        if host_engine and (tags or mesh is not None):
+            raise ValueError(
+                "the lean host engine supports boundaries/scores/G only"
+            )
         if self.tags:
             from .native import TagEmitPlan
 
@@ -165,14 +174,23 @@ class LeanServer:
                 predictor.compiled.tag_meta, predictor.compiled.n_tags
             )
         elif self.scores:
-            self.fn = predictor.serve_scores_fn(
-                tuple(sorted(wsconst)), mesh=mesh
+            self.fn = (
+                predictor.serve_scores_host_fn(tuple(sorted(wsconst)))
+                if host_engine
+                else predictor.serve_scores_fn(
+                    tuple(sorted(wsconst)), mesh=mesh
+                )
             )
         else:
-            self.fn = predictor.serve_boundaries_fn(
-                tuple(sorted(wsconst)), mesh=mesh
+            self.fn = (
+                predictor.serve_boundaries_host_fn(tuple(sorted(wsconst)))
+                if host_engine
+                else predictor.serve_boundaries_fn(
+                    tuple(sorted(wsconst)), mesh=mesh
+                )
             )
         self.norm_map = _fullwidth_norm_map() if normalize else None
+        self._scratch: dict = {}  # reused detok output buffer
         self.batch_lines = batch_lines
         self.fallback = fallback
         self.n_lines = 0
@@ -180,13 +198,14 @@ class LeanServer:
 
     # ------------------------------------------------------------------
 
-    def _dispatch(self, blob, csum, starts, ends, n_valid):
+    def _dispatch(self, blob, starts, ends, n_valid):
         """Tensorize + dispatch one group; returns the pending tuple or
-        None if the group needs the general path. ``csum`` is the chunk's
-        char-start cumsum (computed once per read chunk in run())."""
-        from .native import tensorize16_native
+        None if the group needs the general path."""
+        from .native import count_chars_native, tensorize16_native
 
-        counts = csum[ends] - csum[starts]
+        counts = count_chars_native(blob, starts, ends)
+        if counts is None:  # native lib unavailable: general path
+            return None
         max_chars = int(counts.max(initial=0))
         if max_chars > self.predictor.LONG_SENTENCE_THRESHOLD:
             # very long lines go through the general path's halo-overlap
@@ -241,7 +260,8 @@ class LeanServer:
                 self._apply_grapheme(bnd, host, n)
             else:
                 bnd = np.asarray(res)  # the one device->host readback
-            data = detok_native(blob, starts, ends, bnd[:n])
+            data = detok_native(blob, starts, ends, bnd[:n],
+                                scratch=self._scratch)
         if data is None:  # native lib raced away; should not happen
             raise RuntimeError("native detokenizer unavailable")
         out.write(data)
@@ -323,11 +343,6 @@ class LeanServer:
             if synthetic_tail:
                 has_cr[-1] = False
             ends = ends - has_cr.astype(np.int64)
-            # per-line char counts come from one cumsum over the chunk
-            # (UTF-8 char starts are the non-continuation bytes)
-            is_start = ((blob & 0xC0) != 0x80).astype(np.int64)
-            csum = np.zeros(len(blob) + 1, dtype=np.int64)
-            np.cumsum(is_start, out=csum[1:])
             B = self.batch_lines
             n = len(nl)
             for g in range(0, n, B):
@@ -338,7 +353,7 @@ class LeanServer:
                     pad = np.zeros(B - (hi - g), dtype=np.int64)
                     gs = np.concatenate((gs, pad))
                     ge = np.concatenate((ge, pad))
-                done = self._dispatch(blob, csum, gs, ge, hi - g)
+                done = self._dispatch(blob, gs, ge, hi - g)
                 if done is None:
                     if pending is not None:
                         self._realize(pending, out)
