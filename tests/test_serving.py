@@ -616,3 +616,38 @@ class TestLeanHostEngine:
         lines = TestLeanFuzz()._lines(10, n=60)
         assert lean_path(host_pred, lines, batch_lines=8) == \
             general_path(bundled_pred, lines)
+
+
+class TestLeanHostTags:
+    def test_tags_match_general(self):
+        from vaporetto_tpu.serving import lean_tags_supported
+
+        pred = Predictor(
+            Model.read("/root/reference/resources/model.bin"), True,
+            backend="host",
+        )
+        if not lean_tags_supported(pred):
+            pytest.skip("lean host tag path unavailable")
+        lines = CORPUS + TestLeanFuzz()._lines(11, n=40)
+        want = general_path_tags(pred, lines)
+        got = lean_path_tags(pred, lines, batch_lines=8)
+        assert got == want
+
+    def test_docs_tok_conformance(self):
+        from vaporetto_tpu.serving import lean_tags_supported
+
+        pred = Predictor(
+            Model.read("/root/reference/resources/model.bin"), True,
+            backend="host",
+        )
+        if not lean_tags_supported(pred):
+            pytest.skip("lean host tag path unavailable")
+        with open("/root/reference/resources/docs.tok", "rb") as f:
+            gold = f.read()
+        raws = []
+        with open("/root/reference/resources/docs.tok",
+                  encoding="utf-8") as f:
+            for ln in f:
+                toks = ln.strip().split(" ")
+                raws.append("".join(t.split("/")[0] for t in toks))
+        assert lean_path_tags(pred, raws) == gold

@@ -100,6 +100,8 @@ def _load() -> Optional[ctypes.CDLL]:
             ctypes.c_int32,                   # n_ws
             ctypes.POINTER(ctypes.c_int8),    # out_bnd
             ctypes.POINTER(ctypes.c_int32),   # out_scores (nullable)
+            ctypes.POINTER(ctypes.c_int32),   # out_cm (nullable)
+            ctypes.POINTER(ctypes.c_int32),   # out_tm (nullable)
             ctypes.c_int32,                   # n_threads
         ]
     if hasattr(lib, "vt_count_chars"):
@@ -511,10 +513,11 @@ class NativeHostPredictor:
             return self._predict_batch_locked(cps_list, cts_list, n_threads)
 
     def serve_padded(self, cps, lengths, ws_types=(), want_scores=False,
-                     n_threads: int = 0):
+                     want_states=False, n_threads: int = 0):
         """One-call lean host serving over a padded (B, L) uint16 batch:
-        returns int8 gap labels (B, L-1) [+ int32 gap scores] — the C++
-        twin of the device serve kernel (vt_host_serve_padded)."""
+        returns int8 gap labels (B, L-1) [+ int32 gap scores]
+        [+ (char_match, type_match) padded state rows] — the C++ twin of
+        the device serve kernel (vt_host_serve_padded)."""
         if not hasattr(self._lib, "vt_host_serve_padded"):
             return None
         cps = np.ascontiguousarray(cps, dtype=np.uint16)
@@ -526,6 +529,8 @@ class NativeHostPredictor:
             np.empty((B, max(L - 1, 0)), dtype=np.int32)
             if want_scores else None
         )
+        cm = np.empty((B, L), dtype=np.int32) if want_states else None
+        tm = np.empty((B, L), dtype=np.int32) if want_states else None
         I32P = ctypes.POINTER(ctypes.c_int32)
         with self._lock:
             rc = self._lib.vt_host_serve_padded(
@@ -538,11 +543,18 @@ class NativeHostPredictor:
                 len(ws),
                 bnd.ctypes.data_as(ctypes.POINTER(ctypes.c_int8)),
                 sc.ctypes.data_as(I32P) if sc is not None else None,
+                cm.ctypes.data_as(I32P) if cm is not None else None,
+                tm.ctypes.data_as(I32P) if tm is not None else None,
                 n_threads,
             )
         if rc != 0:
             return None
-        return (bnd, sc) if want_scores else bnd
+        out = [bnd]
+        if want_scores:
+            out.append(sc)
+        if want_states:
+            out.append((cm, tm))
+        return out[0] if len(out) == 1 else tuple(out)
 
     def predict_flat(self, cps_flat, cts_flat, offsets,
                      n_threads: int = 0):

@@ -277,11 +277,12 @@ int vt_host_serve_padded(void* hp, const uint16_t* cps,
                          const int32_t* lengths, int64_t B, int32_t L,
                          const int32_t* ws_types, int32_t n_ws,
                          int8_t* out_bnd, int32_t* out_scores,
+                         int32_t* out_cm, int32_t* out_tm,
                          int32_t n_threads) {
   auto* h = static_cast<HostPredictor*>(hp);
   const int32_t Lm1 = L - 1;
   auto work = [&](int64_t lo, int64_t hi) {
-    std::vector<int32_t> cps32(L), cm(L), tm(L);
+    std::vector<int32_t> cps32(L), cm_buf(L), tm_buf(L);
     std::vector<int32_t> scores(h->pad_left + (L > 0 ? L - 1 : 0) +
                                 h->pad_right + 8);
     std::vector<uint8_t> cts(L);
@@ -293,8 +294,16 @@ int vt_host_serve_padded(void* hp, const uint16_t* cps,
         cps32[i] = src[i];
         cts[i] = serve_char_type(src[i]);
       }
+      // per-position match states go straight to the caller's padded
+      // rows when requested (the lean host tag path consumes them)
+      int32_t* cm = out_cm ? out_cm + row * L : cm_buf.data();
+      int32_t* tm = out_tm ? out_tm + row * L : tm_buf.data();
       vt_host_predict(hp, cps32.data(), cts.data(), n, scores.data(),
-                      cm.data(), tm.data());
+                      cm, tm);
+      if (out_cm)
+        for (int32_t i = n; i < L; ++i) cm[i] = -1;
+      if (out_tm)
+        for (int32_t i = n; i < L; ++i) tm[i] = -1;
       int8_t* bnd = out_bnd + row * Lm1;
       int32_t* sc = out_scores ? out_scores + row * Lm1 : nullptr;
       int32_t i = 0;

@@ -295,6 +295,58 @@ class Predictor:
         """Host-engine twin of :meth:`serve_scores_fn`."""
         return self._serve_host_core(tuple(sorted(wsconst_types)), True)
 
+    def serve_tags_host_fn(self, wsconst_types: Tuple[int, ...] = ()):
+        """Host-engine twin of :meth:`serve_tags_fn`: one native serve
+        call (emitting per-position match states) + the batched C++ tag
+        scorer, returning the same (boundaries, token_id, choice)
+        triple the lean tag detokenizer consumes — `--backend host
+        --predict-tags` as a fully native pipeline."""
+        host = self._host()
+        scorer = self._tag_scorer()
+        if host is None or scorer is None:
+            raise RuntimeError("native host tag engine unavailable")
+        n_tags = self.compiled.n_tags
+        S = max(n_tags, 1)
+        ws = tuple(sorted(wsconst_types))
+        has_char = scorer.has_char
+        has_type = scorer.has_type
+
+        def fn(cps, lengths):
+            cps = np.asarray(cps)
+            lengths64 = np.asarray(lengths, dtype=np.int64)
+            B, L = cps.shape
+            res = host.serve_padded(cps, lengths, ws, want_states=True)
+            if res is None:
+                raise RuntimeError("native host serve unavailable")
+            bnd, (cm, tm) = res
+            # the native scorer's flat label stream assumes n-1 labels
+            # per sentence, which cannot represent empty lines — feed it
+            # the nonempty rows only (empty lines carry no tokens)
+            nz = np.flatnonzero(lengths64 > 0)
+            lens_nz = lengths64[nz]
+            iota = np.arange(L)
+            mask = iota[None, :] < lens_nz[:, None]
+            sent_off = np.zeros(len(nz) + 1, dtype=np.int64)
+            np.cumsum(lens_nz, out=sent_off[1:])
+            cps_flat = cps[nz][mask].astype(np.int32)
+            gmask = iota[None, : L - 1] < (lens_nz[:, None] - 1)
+            bnd_flat = bnd[nz][gmask].astype(np.uint8)
+            tids, pos, sent, choices, _, _, _ = scorer.predict_batch(
+                cps_flat, bnd_flat, sent_off,
+                cm[nz][mask] if has_char else None,
+                tm[nz][mask] if has_type else None,
+                want_scores=False,
+            )
+            tid = np.full((B, L), -1, dtype=np.int32)
+            choice = np.full((B, L, S), -1, dtype=np.int8)
+            if len(tids):
+                rows = nz[sent]
+                tid[rows, pos] = tids
+                choice[rows, pos, :] = choices[:, :S].astype(np.int8)
+            return bnd, tid, choice
+
+        return fn
+
     def serve_scores_traced_fn(self, wsconst_types: Tuple[int, ...] = ()):
         """Lean serving variant that also returns the raw int32 gap
         scores: ``fn(cps, lengths, tables) -> (boundaries int8 (B, L-1),

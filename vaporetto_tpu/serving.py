@@ -58,9 +58,6 @@ def lean_path_supported(args_like) -> bool:
         # boundaries; LeanServer rejects the combination too
         return False
     backend = getattr(args_like, "backend", "device")
-    if backend == "host" and args_like.predict_tags:
-        # host tags stay on the general path (batched C++ tag scorer)
-        return False
     return (
         not args_like.tag_scores
         and backend in ("device", "host")
@@ -70,16 +67,27 @@ def lean_path_supported(args_like) -> bool:
 
 
 def lean_tags_supported(predictor) -> bool:
-    """Whether the model packs into device tag tables AND the native
-    tag-aware detokenizer is present (lean --predict-tags path)."""
+    """Whether the lean --predict-tags path is available: the native
+    tag-aware detokenizer plus, per backend, the device tag tables or
+    the native host tag scorer (int8 choice output bounds candidate
+    counts at 127 either way)."""
     from .native import _load
 
     lib = _load()
-    return (
-        lib is not None
-        and hasattr(lib, "vt_detok_tags")
-        and predictor.device_tag_tables() is not None
-    )
+    if lib is None or not hasattr(lib, "vt_detok_tags"):
+        return False
+    if getattr(predictor, "backend", "device") == "host":
+        meta = predictor.compiled.tag_meta
+        return (
+            predictor._host() is not None
+            and predictor._tag_scorer() is not None
+            and predictor.compiled.n_tags > 0
+            and meta is not None
+            and all(
+                len(c) <= 127 for slots in meta.tags for c in slots
+            )
+        )
+    return predictor.device_tag_tables() is not None
 
 
 _UNSAFE_TABLE: Optional[np.ndarray] = None
@@ -160,15 +168,17 @@ class LeanServer:
         self.scores = bool(scores)
         self.grapheme = bool(grapheme)
         host_engine = getattr(predictor, "backend", "device") == "host"
-        if host_engine and (tags or mesh is not None):
-            raise ValueError(
-                "the lean host engine supports boundaries/scores/G only"
-            )
+        if host_engine and mesh is not None:
+            raise ValueError("the lean host engine takes no device mesh")
         if self.tags:
             from .native import TagEmitPlan
 
-            self.fn = predictor.serve_tags_fn(
-                tuple(sorted(wsconst)), mesh=mesh
+            self.fn = (
+                predictor.serve_tags_host_fn(tuple(sorted(wsconst)))
+                if host_engine
+                else predictor.serve_tags_fn(
+                    tuple(sorted(wsconst)), mesh=mesh
+                )
             )
             self.plan = TagEmitPlan(
                 predictor.compiled.tag_meta, predictor.compiled.n_tags
