@@ -428,30 +428,6 @@ def _measure() -> int:
         return (peak_gb is None
                 or chars_s * bytes_per_char / 1e9 <= 1.05 * peak_gb)
 
-    # ---- native host C++ evaluator (no device involved) ---------------
-    # the hybrid-dispatch engine (native/host_predictor.cc); on this
-    # environment's degraded device it is the framework's fastest
-    # engine, so the driver record carries its number too
-    try:
-        from vaporetto_tpu.native import NativeHostPredictor
-
-        host = NativeHostPredictor(pred.compiled)
-        hl = 1_000_000
-        hcps = pools[rng.integers(0, len(pools), hl)].astype(np.int32)
-        hcts = char_types_of_codepoints(hcps[None, :])[0].astype(np.uint8)
-        # full-size warm-up: the first call at a new size pays scratch-
-        # buffer page faults (the round-2 allocation cliff)
-        host.predict_batch([hcps], [hcts], n_threads=1)
-        t0 = time.perf_counter()
-        for _ in range(3):
-            host.predict_batch([hcps], [hcts], n_threads=1)
-        hdt = time.perf_counter() - t0
-        diagnostics["host_engine_mchars_per_s_1core"] = round(
-            3 * hl / hdt / 1e6, 1
-        )
-    except Exception as e:
-        print(f"host-engine phase unavailable: {e}", file=sys.stderr)
-
     # phase 0 hedge: the plain (8192, 256) programs are in the persistent
     # compile cache from day one — a quick host-side pipelined loop on
     # them emits a first JSON before ANY new compile is attempted, so a
@@ -504,6 +480,31 @@ def _measure() -> int:
                   file=sys.stderr)
     except Exception as e:
         print(f"phase-0 hedge unavailable: {e}", file=sys.stderr)
+
+    # ---- native host C++ evaluator (no device involved) ---------------
+    # the hybrid-dispatch engine (native/host_predictor.cc); on this
+    # environment's degraded device it is the framework's fastest
+    # engine, so the driver record carries its number too
+    try:
+        from vaporetto_tpu.native import NativeHostPredictor
+
+        host = NativeHostPredictor(pred.compiled)
+        hl = 1_000_000
+        hcps = pools[rng.integers(0, len(pools), hl)].astype(np.int32)
+        hcts = char_types_of_codepoints(hcps[None, :])[0].astype(np.uint8)
+        # full-size warm-up: the first call at a new size pays scratch-
+        # buffer page faults (the round-2 allocation cliff)
+        host.predict_batch([hcps], [hcts], n_threads=1)
+        t0 = time.perf_counter()
+        for _ in range(3):
+            host.predict_batch([hcps], [hcts], n_threads=1)
+        hdt = time.perf_counter() - t0
+        diagnostics["host_engine_mchars_per_s_1core"] = round(
+            3 * hl / hdt / 1e6, 1
+        )
+    except Exception as e:
+        print(f"host-engine phase unavailable: {e}", file=sys.stderr)
+
 
     def _serve_or_none(serve_s):
         # the serve loop gets its own physicality gate: a dispatch-rate

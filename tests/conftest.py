@@ -27,3 +27,19 @@ if not os.environ.get("VAPORETTO_TPU_TEST_REAL_DEVICE"):
 from vaporetto_tpu.utils.jaxcfg import ensure_compilation_cache  # noqa: E402
 
 ensure_compilation_cache()
+
+
+def docs_tok_raws():
+    """Raw (untagged) text of each docs.tok gold line, parsed with the
+    real tokenized-format unescaper (shared by the conformance tests so
+    hand-rolled split(' ')/split('/') parsers don't proliferate)."""
+    from vaporetto_tpu.sentence import Sentence
+
+    raws = []
+    with open("/root/reference/resources/docs.tok", encoding="utf-8") as f:
+        for ln in f:
+            if ln.strip():
+                raws.append(
+                    Sentence.from_tokenized(ln.rstrip("\n")).as_raw_text()
+                )
+    return raws

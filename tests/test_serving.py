@@ -280,14 +280,9 @@ class TestLeanTagsMatchesGeneral:
         pipeline (the conformance contract, resources/docs.tok)."""
         with open("/root/reference/resources/docs.tok", "rb") as f:
             gold = f.read()
-        # rebuild the raw (untagged) text of each gold line
-        raws = []
-        with open("/root/reference/resources/docs.tok",
-                  encoding="utf-8") as f:
-            for ln in f:
-                toks = ln.strip().split(" ")
-                raws.append("".join(t.split("/")[0] for t in toks))
-        got = lean_path_tags(bundled_pred_tags, raws)
+        from conftest import docs_tok_raws
+
+        got = lean_path_tags(bundled_pred_tags, docs_tok_raws())
         assert got == gold
 
     def test_no_norm_and_wsconst(self, bundled_pred_tags):
@@ -644,10 +639,6 @@ class TestLeanHostTags:
             pytest.skip("lean host tag path unavailable")
         with open("/root/reference/resources/docs.tok", "rb") as f:
             gold = f.read()
-        raws = []
-        with open("/root/reference/resources/docs.tok",
-                  encoding="utf-8") as f:
-            for ln in f:
-                toks = ln.strip().split(" ")
-                raws.append("".join(t.split("/")[0] for t in toks))
-        assert lean_path_tags(pred, raws) == gold
+        from conftest import docs_tok_raws
+
+        assert lean_path_tags(pred, docs_tok_raws()) == gold

@@ -81,14 +81,9 @@ class TestNativeMatchesPython:
 
     def test_bundled_reference_model(self):
         model = Model.read("/root/reference/resources/model.bin")
-        with open("/root/reference/resources/docs.tok", encoding="utf-8") as f:
-            texts = [
-                "".join(
-                    tok.split("/")[0] for tok in line.strip().split(" ")
-                )
-                for line in f
-                if line.strip()
-            ]
+        from conftest import docs_tok_raws
+
+        texts = docs_tok_raws()
         assert all(len(t) >= 7 for t in texts)  # full multi-token lines
         self._assert_equal_paths(model, texts)
 

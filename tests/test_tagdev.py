@@ -86,14 +86,9 @@ class TestDeviceMatchesHost:
 
     def test_bundled_reference_model(self):
         model = Model.read("/root/reference/resources/model.bin")
-        with open("/root/reference/resources/docs.tok", encoding="utf-8") as f:
-            texts = [
-                "".join(
-                    tok.split("/")[0] for tok in line.strip().split(" ")
-                )
-                for line in f
-                if line.strip()
-            ]
+        from conftest import docs_tok_raws
+
+        texts = docs_tok_raws()
         assert all(len(t) >= 7 for t in texts)  # full multi-token lines
         _assert_device_matches_host(model, texts)
 

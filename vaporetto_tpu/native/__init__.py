@@ -22,12 +22,30 @@ _lib: Optional[ctypes.CDLL] = None
 _tried = False
 
 
+def _stale() -> bool:
+    """True when any native source is newer than the built library — a
+    stale .so can lack newly added symbols, which would silently degrade
+    paths that probe them with hasattr."""
+    try:
+        so_mtime = os.path.getmtime(_LIB_PATH)
+    except OSError:
+        return True
+    for name in os.listdir(_DIR):
+        if name.endswith((".cc", ".h")) or name == "Makefile":
+            try:
+                if os.path.getmtime(os.path.join(_DIR, name)) > so_mtime:
+                    return True
+            except OSError:
+                pass
+    return False
+
+
 def _load() -> Optional[ctypes.CDLL]:
     global _lib, _tried
     if _lib is not None or _tried:
         return _lib
     _tried = True
-    if not os.path.exists(_LIB_PATH):
+    if not os.path.exists(_LIB_PATH) or _stale():
         try:
             subprocess.run(
                 ["make", "-C", _DIR],
@@ -36,7 +54,11 @@ def _load() -> Optional[ctypes.CDLL]:
                 check=True,
             )
         except Exception:
-            return None
+            if not os.path.exists(_LIB_PATH):
+                return None
+            # stale rebuild failed (e.g. no compiler): fall through and
+            # load the existing library — callers hasattr-guard new
+            # symbols
     try:
         lib = ctypes.CDLL(_LIB_PATH)
     except OSError:

@@ -16,6 +16,7 @@
 // output (`inherit`) — exactly the device's longest-match stream
 // (reference char_scorer/boundary_scorer.rs:91-113 semantics).
 
+#include "common.h"
 #include <cstdint>
 #include <cstring>
 #include <queue>
@@ -247,24 +248,7 @@ int vt_host_predict(void* hp, const int32_t* cps, const uint8_t* cts,
 
 namespace {
 
-// duplicated from tensorizer.cc (anonymous namespaces; reference
-// CharacterType::get_type ranges, sentence.rs:50-67)
-inline uint8_t serve_char_type(uint32_t c) {
-  if ((c >= 0x30 && c <= 0x39) || (c >= 0xFF10 && c <= 0xFF19)) return 1;
-  if ((c >= 0x41 && c <= 0x5A) || (c >= 0x61 && c <= 0x7A) ||
-      (c >= 0xFF21 && c <= 0xFF3A) || (c >= 0xFF41 && c <= 0xFF5A))
-    return 2;
-  if (c >= 0x3040 && c <= 0x3096) return 3;
-  if ((c >= 0x30A0 && c <= 0x30FA) || (c >= 0x30FC && c <= 0x30FF) ||
-      (c >= 0xFF66 && c <= 0xFF9F))
-    return 4;
-  if ((c >= 0x3400 && c <= 0x4DBF) || (c >= 0x4E00 && c <= 0x9FFF) ||
-      (c >= 0xF900 && c <= 0xFAFF) || (c >= 0x20000 && c <= 0x2A6DF) ||
-      (c >= 0x2A700 && c <= 0x2B73F) || (c >= 0x2B740 && c <= 0x2B81F) ||
-      (c >= 0x2B820 && c <= 0x2CEAF) || (c >= 0x2F800 && c <= 0x2FA1F))
-    return 5;
-  return 6;
-}
+inline uint8_t serve_char_type(uint32_t c) { return vt::char_type(c); }
 
 }  // namespace
 
@@ -327,24 +311,7 @@ int vt_host_serve_padded(void* hp, const uint16_t* cps,
       }
     }
   };
-  if (n_threads <= 0) {
-    n_threads = static_cast<int32_t>(std::thread::hardware_concurrency());
-    if (n_threads <= 0) n_threads = 1;
-  }
-  if (n_threads > B) n_threads = static_cast<int32_t>(B);
-  if (n_threads <= 1) {
-    work(0, B);
-    return 0;
-  }
-  std::vector<std::thread> threads;
-  int64_t per = (B + n_threads - 1) / n_threads;
-  for (int32_t t = 0; t < n_threads; ++t) {
-    int64_t lo = t * per;
-    int64_t hi = lo + per < B ? lo + per : B;
-    if (lo >= hi) break;
-    threads.emplace_back(work, lo, hi);
-  }
-  for (auto& th : threads) th.join();
+  vt::parallel_rows(B, n_threads, 2, work);
   return 0;
 }
 
@@ -359,12 +326,6 @@ int vt_host_predict_batch(void* hp, const int32_t* cps_flat,
                           int64_t n_lines, const int64_t* score_offsets,
                           int32_t* scores_flat, int32_t* char_match_flat,
                           int32_t* type_match_flat, int32_t n_threads) {
-  if (n_threads <= 0) {
-    n_threads = static_cast<int32_t>(std::thread::hardware_concurrency());
-    if (n_threads <= 0) n_threads = 1;
-  }
-  if (n_threads > n_lines) n_threads = static_cast<int32_t>(n_lines);
-  if (n_threads < 1) n_threads = 1;
   auto work = [&](int64_t lo, int64_t hi) {
     for (int64_t i = lo; i < hi; ++i) {
       vt_host_predict(hp, cps_flat + offsets[i], cts_flat + offsets[i],
@@ -374,19 +335,8 @@ int vt_host_predict_batch(void* hp, const int32_t* cps_flat,
                       type_match_flat + offsets[i]);
     }
   };
-  if (n_threads == 1) {
-    work(0, n_lines);
-    return 0;
-  }
-  std::vector<std::thread> threads;
-  int64_t per = (n_lines + n_threads - 1) / n_threads;
-  for (int32_t t = 0; t < n_threads; ++t) {
-    int64_t lo = t * per;
-    int64_t hi = lo + per < n_lines ? lo + per : n_lines;
-    if (lo >= hi) break;
-    threads.emplace_back(work, lo, hi);
-  }
-  for (auto& th : threads) th.join();
+
+  vt::parallel_rows(n_lines, n_threads, 2, work);
   return 0;
 }
 

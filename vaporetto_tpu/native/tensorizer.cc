@@ -10,24 +10,11 @@
 #include <thread>
 #include <vector>
 
+#include "common.h"
+
 namespace {
 
-inline uint8_t char_type(uint32_t c) {
-  if ((c >= 0x30 && c <= 0x39) || (c >= 0xFF10 && c <= 0xFF19)) return 1;
-  if ((c >= 0x41 && c <= 0x5A) || (c >= 0x61 && c <= 0x7A) ||
-      (c >= 0xFF21 && c <= 0xFF3A) || (c >= 0xFF41 && c <= 0xFF5A))
-    return 2;
-  if (c >= 0x3040 && c <= 0x3096) return 3;
-  if ((c >= 0x30A0 && c <= 0x30FA) || (c >= 0x30FC && c <= 0x30FF) ||
-      (c >= 0xFF66 && c <= 0xFF9F))
-    return 4;
-  if ((c >= 0x3400 && c <= 0x4DBF) || (c >= 0x4E00 && c <= 0x9FFF) ||
-      (c >= 0xF900 && c <= 0xFAFF) || (c >= 0x20000 && c <= 0x2A6DF) ||
-      (c >= 0x2A700 && c <= 0x2B73F) || (c >= 0x2B740 && c <= 0x2B81F) ||
-      (c >= 0x2B820 && c <= 0x2CEAF) || (c >= 0x2F800 && c <= 0x2FA1F))
-    return 5;
-  return 6;
-}
+inline uint8_t char_type(uint32_t c) { return vt::char_type(c); }
 
 }  // namespace
 
@@ -258,24 +245,7 @@ int64_t vt_detok(const uint8_t* utf8, const int64_t* starts,
       out_len[row] = o - o0;
     }
   };
-  if (n_threads <= 0) {
-    n_threads = static_cast<int32_t>(std::thread::hardware_concurrency());
-    if (n_threads <= 0) n_threads = 1;
-  }
-  if (n_threads > n_lines) n_threads = static_cast<int32_t>(n_lines);
-  if (n_threads <= 1 || n_lines < 256) {
-    work(0, n_lines);
-  } else {
-    std::vector<std::thread> threads;
-    int64_t per = (n_lines + n_threads - 1) / n_threads;
-    for (int32_t t = 0; t < n_threads; ++t) {
-      int64_t lo = t * per;
-      int64_t hi = lo + per < n_lines ? lo + per : n_lines;
-      if (lo >= hi) break;
-      threads.emplace_back(work, lo, hi);
-    }
-    for (auto& th : threads) th.join();
-  }
+  vt::parallel_rows(n_lines, n_threads, 256, work);
   int64_t w = 0;
   for (int64_t row = 0; row < n_lines; ++row) {
     if (w != out_start[row])
@@ -380,24 +350,7 @@ int64_t vt_detok_scores(const uint8_t* utf8, const int64_t* starts,
       out_len[row] = o - o0;
     }
   };
-  if (n_threads <= 0) {
-    n_threads = static_cast<int32_t>(std::thread::hardware_concurrency());
-    if (n_threads <= 0) n_threads = 1;
-  }
-  if (n_threads > n_lines) n_threads = static_cast<int32_t>(n_lines);
-  if (n_threads <= 1 || n_lines < 256) {
-    work(0, n_lines);
-  } else {
-    std::vector<std::thread> threads;
-    int64_t per = (n_lines + n_threads - 1) / n_threads;
-    for (int32_t t = 0; t < n_threads; ++t) {
-      int64_t lo = t * per;
-      int64_t hi = lo + per < n_lines ? lo + per : n_lines;
-      if (lo >= hi) break;
-      threads.emplace_back(work, lo, hi);
-    }
-    for (auto& th : threads) th.join();
-  }
+  vt::parallel_rows(n_lines, n_threads, 256, work);
   int64_t w = 0;
   for (int64_t row = 0; row < n_lines; ++row) {
     if (w != out_start[row])
@@ -493,24 +446,7 @@ int64_t vt_detok_tags(const uint8_t* utf8, const int64_t* starts,
       out_len[row] = o - o0;
     }
   };
-  if (n_threads <= 0) {
-    n_threads = static_cast<int32_t>(std::thread::hardware_concurrency());
-    if (n_threads <= 0) n_threads = 1;
-  }
-  if (n_threads > n_lines) n_threads = static_cast<int32_t>(n_lines);
-  if (n_threads <= 1 || n_lines < 256) {
-    work(0, n_lines);
-  } else {
-    std::vector<std::thread> threads;
-    int64_t per = (n_lines + n_threads - 1) / n_threads;
-    for (int32_t t = 0; t < n_threads; ++t) {
-      int64_t lo = t * per;
-      int64_t hi = lo + per < n_lines ? lo + per : n_lines;
-      if (lo >= hi) break;
-      threads.emplace_back(work, lo, hi);
-    }
-    for (auto& th : threads) th.join();
-  }
+  vt::parallel_rows(n_lines, n_threads, 256, work);
   int64_t w = 0;
   for (int64_t row = 0; row < n_lines; ++row) {
     if (w != out_start[row])

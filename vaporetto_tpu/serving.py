@@ -211,11 +211,18 @@ class LeanServer:
     def _dispatch(self, blob, starts, ends, n_valid):
         """Tensorize + dispatch one group; returns the pending tuple or
         None if the group needs the general path."""
-        from .native import count_chars_native, tensorize16_native
+        from .native import available, count_chars_native, tensorize16_native
 
         counts = count_chars_native(blob, starts, ends)
-        if counts is None:  # native lib unavailable: general path
-            return None
+        if counts is None:
+            if not available():  # no native lib at all: general path
+                return None
+            # library predates vt_count_chars: portable numpy count
+            csum = np.empty(len(blob) + 1, dtype=np.int32)
+            csum[0] = 0
+            np.cumsum((blob & 0xC0) != 0x80, dtype=np.int32,
+                      out=csum[1:])
+            counts = csum[ends] - csum[starts]
         max_chars = int(counts.max(initial=0))
         if max_chars > self.predictor.LONG_SENTENCE_THRESHOLD:
             # very long lines go through the general path's halo-overlap
