@@ -368,3 +368,24 @@ class TestDictionaryProbe:
             )
             assert out.returncode == 0, out.stderr
             assert out.stdout == "まぁ 社長 は 火星猫 だ\n", flags
+
+
+class TestEvaluateBackendHost:
+    def test_host_backend_matches_device(self):
+        with open(DOCS_TOK) as f:
+            gold = f.read()
+        env = {"PATH": "/usr/bin:/bin", "JAX_PLATFORMS": "cpu",
+               "PYTHONPATH": "/root/repo", "HOME": "/root"}
+        outs = {}
+        for backend in ("device", "host"):
+            out = subprocess.run(
+                [sys.executable, "-m", "vaporetto_tpu.cli.evaluate",
+                 "--model", MODEL_BIN, "--metric", "word",
+                 "--predict-tags", "--backend", backend],
+                input=gold, capture_output=True, text=True, timeout=560,
+                env=env,
+            )
+            assert out.returncode == 0, out.stderr
+            outs[backend] = out.stdout
+        assert outs["host"] == outs["device"]
+        assert "F1: 1.0" in outs["host"]

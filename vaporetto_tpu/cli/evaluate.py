@@ -44,6 +44,10 @@ def main(argv: Optional[List[str]] = None) -> int:
     p.add_argument("--no-norm", action="store_true")
     p.add_argument("--metric", choices=["char", "word"], default="char")
     p.add_argument("--batch-size", type=int, default=BATCH)
+    p.add_argument("--backend", choices=("device", "host"),
+                   default="device",
+                   help="device = jitted TPU pipeline; host = native "
+                   "C++ evaluator (bit-identical).")
     p.add_argument("--input", default=None,
                    help="Gold corpus file (default: stdin; required for "
                    "multi-process runs).")
@@ -66,7 +70,7 @@ def main(argv: Optional[List[str]] = None) -> int:
 
     print("Loading model file...", file=sys.stderr)
     model = Model.read(args.model)
-    predictor = Predictor(model, args.predict_tags)
+    predictor = Predictor(model, args.predict_tags, backend=args.backend)
 
     print("Start tokenization", file=sys.stderr)
     results = []
