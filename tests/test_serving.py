@@ -642,3 +642,9 @@ class TestLeanHostTags:
         from conftest import docs_tok_raws
 
         assert lean_path_tags(pred, docs_tok_raws()) == gold
+
+    def test_astral_fallback_host(self, host_pred, bundled_pred):
+        lines = ["まぁ社長", "猫だ\U0001F431猫だ", "まぁ良い"]
+        want = general_path(bundled_pred, lines)
+        got = lean_path(host_pred, lines, batch_lines=2)
+        assert got == want
