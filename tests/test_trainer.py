@@ -166,6 +166,10 @@ class TestTrainRoundTrip:
         assert model.char_window_size == 3
 
     def test_native_matches_python_extractor(self, monkeypatch):
+        from vaporetto_tpu.native import available
+
+        if not available():
+            pytest.skip("native library unavailable")
         """The C++ extractor must produce an identical trained model."""
         corpus = CORPUS + ["これ は 追加 の 文"]
 
@@ -207,6 +211,10 @@ class TestTrainRoundTrip:
 
 class TestDictACScan:
     def test_suffix_overlapping_dictionary(self, monkeypatch):
+        from vaporetto_tpu.native import available
+
+        if not available():
+            pytest.skip("native library unavailable")
         """The native extractor's AC dictionary scan (trainer.rs:227,
         296-317 analogue) must emit exactly the Python probe's features
         for suffix-nested and overlapping dictionary words — the cases

@@ -45,6 +45,8 @@ def _load() -> Optional[ctypes.CDLL]:
     if _lib is not None or _tried:
         return _lib
     _tried = True
+    if os.environ.get("VAPORETTO_TPU_NO_NATIVE") == "1":
+        return None  # force the pure-Python fallbacks (testing)
     if not os.path.exists(_LIB_PATH) or _stale():
         try:
             subprocess.run(
