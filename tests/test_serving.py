@@ -47,7 +47,6 @@ def general_path(pred, lines, wsconst=(), normalize=True):
 def lean_path(pred, lines, wsconst=(), normalize=True, batch_lines=4):
     from vaporetto_tpu.serving import LeanServer
 
-    fb_out = io.BytesIO()
     sink = io.BytesIO()
 
     def fallback(raw_lines):
