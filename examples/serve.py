@@ -66,6 +66,13 @@ def load_predictor(model_path: str) -> Predictor:
 
 def main() -> int:
     predictor = load_predictor(sys.argv[1])
+    # the WASM demo runs without an accelerator; the native host engine
+    # models that exactly (bit-identical to the device pipeline) and
+    # keeps this example instant on machines with no TPU attached —
+    # falls back to the device path when the C++ library is unavailable
+    if predictor._host() is not None:
+        predictor.backend = "host"
+        print("segmenting on the native host engine", file=sys.stderr)
     pre_filter = KyteaFullwidthFilter()
     post_filters = [
         ConcatGraphemeClustersFilter(),  # wsconst G
