@@ -7,6 +7,7 @@ covers sharding; THESE tests exercise the actual multi-process runtime —
 and the metric allreduce — via the shipped CLIs.
 """
 
+import socket
 import subprocess
 import sys
 import threading
@@ -18,6 +19,20 @@ DOCS_TOK = "/root/reference/resources/docs.tok"
 
 ENV = {"PATH": "/usr/bin:/bin", "JAX_PLATFORMS": "cpu",
        "PYTHONPATH": "/root/repo", "HOME": "/root"}
+
+
+def _free_port() -> int:
+    """An OS-assigned free TCP port (bind port 0, read it back, close).
+
+    Hard-coded coordinator ports made these tests flaky under concurrent
+    runs / lingering TIME_WAIT sockets; a kernel-assigned ephemeral port
+    per test cannot collide with another fixed choice (a tiny race with
+    unrelated processes remains, same as any port-picking scheme).
+    """
+    with socket.socket(socket.AF_INET, socket.SOCK_STREAM) as s:
+        s.setsockopt(socket.SOL_SOCKET, socket.SO_REUSEADDR, 1)
+        s.bind(("127.0.0.1", 0))
+        return s.getsockname()[1]
 
 
 def _run_pair(argv0, argv1, timeout=180):
@@ -49,14 +64,15 @@ class TestTwoProcessEvaluate:
             "--num-processes", "2", "--process-id", str(pid),
         ]
 
-    @pytest.mark.parametrize("metric,port,extra", [
-        ("char", 29811, []),
-        ("word", 29812, []),
+    @pytest.mark.parametrize("metric,extra", [
+        ("char", []),
+        ("word", []),
         # word metric with tag matching (Nagata word F1 incl. tags):
         # exercises the tag pass + allreduce across processes
-        ("word", 29819, ["--predict-tags"]),
+        ("word", ["--predict-tags"]),
     ])
-    def test_matches_single_process(self, metric, port, extra):
+    def test_matches_single_process(self, metric, extra):
+        port = _free_port()
         r0, r1 = _run_pair(self._argv(0, port, metric) + extra,
                            self._argv(1, port, metric) + extra)
         assert r0.returncode == 0, r0.stderr
@@ -97,16 +113,17 @@ class TestTwoProcessPredict:
             "--num-processes", "2", "--process-id", str(pid), *extra,
         ]
 
-    @pytest.mark.parametrize("extra,port", [
-        ([], 29813),                      # lean path
-        (["--no-lean"], 29814),           # batched_lines general path
-        (["--predict-tags"], 29815),      # lean device tag path
-        (["--no-lean", "--scores"], 29816),   # score blocks in parts
-        (["--no-lean", "--predict-tags", "--tag-scores"], 29817),
+    @pytest.mark.parametrize("extra", [
+        [],                                  # lean path
+        ["--no-lean"],                       # batched_lines general path
+        ["--predict-tags"],                  # lean device tag path
+        ["--no-lean", "--scores"],           # score blocks in parts
+        ["--no-lean", "--predict-tags", "--tag-scores"],
     ])
     def test_parts_concatenate_to_single_process_output(
-        self, tmp_path, extra, port
+        self, tmp_path, extra
     ):
+        port = _free_port()
         corpus_path = tmp_path / "corpus.txt"
         corpus_path.write_text(self.CORPUS, encoding="utf-8")
         r0, r1 = _run_pair(
@@ -133,7 +150,7 @@ class TestTwoProcessPredict:
         the LAST process's part (BufRead::lines semantics)."""
         corpus = "火星猫だ\nまぁ\r".encode("utf-8")
         (tmp_path / "corpus.txt").write_bytes(corpus)
-        port = 29818
+        port = _free_port()
         r0, r1 = _run_pair(
             self._argv(0, port, str(tmp_path), ["--no-lean"]),
             self._argv(1, port, str(tmp_path), ["--no-lean"]),
@@ -214,7 +231,7 @@ class TestTwoProcessTrain:
     def test_matches_single_process(self, tmp_path):
         corpus = tmp_path / "c.tok"
         corpus.write_text(self.CORPUS, encoding="utf-8")
-        port = 29821
+        port = _free_port()
 
         def argv(pid, out):
             return [

@@ -332,7 +332,8 @@ class TestInputOutputFlags:
         out = subprocess.run(
             [sys.executable, "-m", "vaporetto_tpu.cli.predict",
              "--model", MODEL_BIN, "--num-processes", "2",
-             "--process-id", "0", "--dp", "2",
+             "--process-id", "0", "--coordinator", "127.0.0.1:1",
+             "--dp", "2",
              "--input", "/dev/null", "--output", "/tmp/x"],
             stdin=subprocess.DEVNULL, capture_output=True, text=True,
             timeout=120, env=env,

@@ -39,6 +39,35 @@ def build_post_filters(wsconst_values: List[str]):
     return filters
 
 
+def validate_multiprocess_args(parser, args) -> None:
+    """Multi-process flag sanity: ``--num-processes N`` (N > 1) requires
+    ``--process-id`` and ``--coordinator`` — passing None straight into
+    ``jax.distributed.initialize`` yields a cryptic JAX error instead of
+    a usage message."""
+    n = getattr(args, "num_processes", None)
+    if n is None:
+        return
+    if n < 1:
+        parser.error("--num-processes must be >= 1")
+    if n > 1:
+        missing = [
+            flag
+            for flag, v in (
+                ("--process-id", getattr(args, "process_id", None)),
+                ("--coordinator", getattr(args, "coordinator", None)),
+            )
+            if v is None
+        ]
+        if missing:
+            parser.error(
+                f"--num-processes {n} requires {' and '.join(missing)}"
+            )
+        if not 0 <= args.process_id < n:
+            parser.error(
+                "--process-id must be in [0, --num-processes)"
+            )
+
+
 def iter_lines(f):
     """Iterate lines of a text stream with the reference's line semantics
     (BufRead::lines, e.g. predict/src/main.rs:126-128): split on '\n'

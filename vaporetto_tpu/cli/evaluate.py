@@ -29,7 +29,12 @@ from ..models.model import Model
 from ..predictor import Predictor
 from ..rules import KyteaFullwidthFilter
 from ..sentence import Sentence
-from .common import WSCONST_HELP, build_post_filters, iter_lines
+from .common import (
+    WSCONST_HELP,
+    build_post_filters,
+    iter_lines,
+    validate_multiprocess_args,
+)
 
 BATCH = 256
 
@@ -56,6 +61,7 @@ def main(argv: Optional[List[str]] = None) -> int:
     p.add_argument("--num-processes", type=int, default=None)
     p.add_argument("--process-id", type=int, default=None)
     args = p.parse_args(argv)
+    validate_multiprocess_args(p, args)
 
     distributed = args.num_processes is not None and args.num_processes > 1
     if distributed:

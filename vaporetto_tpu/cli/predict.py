@@ -23,7 +23,12 @@ from ..models.model import Model
 from ..predictor import Predictor
 from ..rules import KyteaFullwidthFilter
 from ..sentence import Sentence
-from .common import WSCONST_HELP, build_post_filters, iter_lines
+from .common import (
+    WSCONST_HELP,
+    build_post_filters,
+    iter_lines,
+    validate_multiprocess_args,
+)
 
 BATCH = 256
 
@@ -75,6 +80,7 @@ def main(argv: Optional[List[str]] = None) -> int:
                    help="Capture a jax.profiler trace of the run into "
                    "DIR (view with TensorBoard/xprof).")
     args = p.parse_args(argv)
+    validate_multiprocess_args(p, args)
 
     if args.profile:
         from ..utils.observe import trace

@@ -13,7 +13,7 @@ import sys
 from typing import List, Optional
 
 from ..rules import KyteaFullwidthFilter
-from .common import iter_lines
+from .common import iter_lines, validate_multiprocess_args
 from ..sentence import Sentence
 from ..train.trainer import SolverType, Trainer
 
@@ -75,6 +75,7 @@ def main(argv: Optional[List[str]] = None) -> int:
 
     if not args.tok and not args.part:
         p.error("at least one of --tok / --part is required")
+    validate_multiprocess_args(p, args)
 
     distributed = args.num_processes is not None and args.num_processes > 1
     if distributed:

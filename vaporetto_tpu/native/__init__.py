@@ -49,12 +49,25 @@ def _load() -> Optional[ctypes.CDLL]:
         return None  # force the pure-Python fallbacks (testing)
     if not os.path.exists(_LIB_PATH) or _stale():
         try:
-            subprocess.run(
-                ["make", "-C", _DIR],
-                capture_output=True,
-                timeout=120,
-                check=True,
-            )
+            # Inter-process lock: the multi-process CLIs import this
+            # module in N processes at once; concurrent `make` runs on
+            # the same .so can race (one process loads a half-written
+            # library, silently degrading to Python fallbacks). The lock
+            # serializes the rebuild; late arrivals re-check staleness
+            # and find the fresh library already built.
+            import fcntl
+
+            lock_path = _LIB_PATH + ".lock"
+            with open(lock_path, "w") as lock_f:
+                fcntl.flock(lock_f, fcntl.LOCK_EX)
+                if not os.path.exists(_LIB_PATH) or _stale():
+                    subprocess.run(
+                        ["make", "-C", _DIR],
+                        capture_output=True,
+                        timeout=120,
+                        check=True,
+                    )
+                fcntl.flock(lock_f, fcntl.LOCK_UN)
         except Exception:
             if not os.path.exists(_LIB_PATH):
                 return None
@@ -99,6 +112,7 @@ def _load() -> Optional[ctypes.CDLL]:
         ctypes.POINTER(ctypes.c_uint16),
         ctypes.POINTER(ctypes.c_uint16),
         ctypes.POINTER(ctypes.c_int32),
+        ctypes.c_int32,  # n_threads (<= 0 = auto)
     ]
     lib.vt_detok.restype = ctypes.c_int64
     lib.vt_detok.argtypes = [
@@ -136,6 +150,7 @@ def _load() -> Optional[ctypes.CDLL]:
             ctypes.POINTER(ctypes.c_int64),
             ctypes.c_int64,
             ctypes.POINTER(ctypes.c_int32),
+            ctypes.c_int32,  # n_threads (<= 0 = auto)
         ]
     if hasattr(lib, "vt_detok_scores"):
         lib.vt_detok_scores.restype = ctypes.c_int64
@@ -1103,6 +1118,7 @@ def tensorize16_native(
     ends: np.ndarray,  # int64 (n_lines,) line end byte offsets
     L: int,
     norm_map: Optional[np.ndarray] = None,  # uint16[65536] codepoint map
+    n_threads: int = 0,  # <= 0 picks hardware concurrency
 ) -> Optional[Tuple[np.ndarray, np.ndarray]]:
     """Lean uint16 tensorizer with fused normalization.
 
@@ -1130,6 +1146,7 @@ def tensorize16_native(
         norm_map.ctypes.data_as(U16P) if norm_map is not None else None,
         cps.ctypes.data_as(U16P),
         lengths.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        n_threads,
     )
     if rc != 0:
         return None
@@ -1270,7 +1287,8 @@ def scores_detok_available() -> bool:
 
 
 def count_chars_native(
-    blob: np.ndarray, starts: np.ndarray, ends: np.ndarray
+    blob: np.ndarray, starts: np.ndarray, ends: np.ndarray,
+    n_threads: int = 0,
 ) -> Optional[np.ndarray]:
     """Per-line UTF-8 char counts (int32), or None without the lib."""
     lib = _load()
@@ -1288,6 +1306,7 @@ def count_chars_native(
         ends.ctypes.data_as(I64P),
         n,
         counts.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        n_threads,
     )
     return counts
 

@@ -5,6 +5,7 @@
 // the device). Char-type classification matches the reference Unicode
 // ranges (sentence.rs:50-67) exactly.
 
+#include <atomic>
 #include <cstdint>
 #include <cstring>
 #include <thread>
@@ -137,33 +138,24 @@ int tensorize16_rows(const uint8_t* utf8, const int64_t* starts,
 
 }  // namespace
 
+// n_threads <= 0 picks hardware concurrency (vt::parallel_rows), giving
+// callers (e.g. a CLI already running its own worker threads) control
+// over the fan-out like every other batched entry point.
 int vt_tensorize16(const uint8_t* utf8, const int64_t* starts,
                    const int64_t* ends, int64_t n_lines, int32_t L,
                    const uint16_t* map_bmp, uint16_t* cps,
-                   int32_t* lengths) {
-  int32_t n_threads =
-      static_cast<int32_t>(std::thread::hardware_concurrency());
-  if (n_threads <= 1 || n_lines < 1024) {
-    return tensorize16_rows(utf8, starts, ends, 0, n_lines, L, map_bmp,
-                            cps, lengths);
-  }
-  if (n_threads > 8) n_threads = 8;
-  std::vector<int> rcs(n_threads, 0);
-  std::vector<std::thread> threads;
-  int64_t per = (n_lines + n_threads - 1) / n_threads;
-  for (int32_t t = 0; t < n_threads; ++t) {
-    int64_t lo = t * per;
-    int64_t hi = lo + per < n_lines ? lo + per : n_lines;
-    if (lo >= hi) break;
-    threads.emplace_back([&, t, lo, hi]() {
-      rcs[t] = tensorize16_rows(utf8, starts, ends, lo, hi, L, map_bmp,
-                                cps, lengths);
-    });
-  }
-  for (auto& th : threads) th.join();
-  for (int rc : rcs)
-    if (rc != 0) return rc;
-  return 0;
+                   int32_t* lengths, int32_t n_threads) {
+  std::atomic<int> rc{0};
+  vt::parallel_rows(n_lines, n_threads, 1024,
+                    [&](int64_t lo, int64_t hi) {
+                      int r = tensorize16_rows(utf8, starts, ends, lo, hi,
+                                               L, map_bmp, cps, lengths);
+                      if (r != 0) {
+                        int expected = 0;
+                        rc.compare_exchange_strong(expected, r);
+                      }
+                    });
+  return rc.load();
 }
 
 // Per-line UTF-8 char counts (number of non-continuation bytes in each
@@ -172,32 +164,17 @@ int vt_tensorize16(const uint8_t* utf8, const int64_t* starts,
 // stage.
 void vt_count_chars(const uint8_t* utf8, const int64_t* starts,
                     const int64_t* ends, int64_t n_lines,
-                    int32_t* counts) {
-  auto work = [&](int64_t lo, int64_t hi) {
-    for (int64_t row = lo; row < hi; ++row) {
-      const uint8_t* p = utf8 + starts[row];
-      const uint8_t* end = utf8 + ends[row];
-      int32_t n = 0;
-      for (; p < end; ++p) n += (*p & 0xC0) != 0x80;
-      counts[row] = n;
-    }
-  };
-  int32_t n_threads =
-      static_cast<int32_t>(std::thread::hardware_concurrency());
-  if (n_threads <= 1 || n_lines < 1024) {
-    work(0, n_lines);
-    return;
-  }
-  if (n_threads > 8) n_threads = 8;
-  std::vector<std::thread> threads;
-  int64_t per = (n_lines + n_threads - 1) / n_threads;
-  for (int32_t t = 0; t < n_threads; ++t) {
-    int64_t lo = t * per;
-    int64_t hi = lo + per < n_lines ? lo + per : n_lines;
-    if (lo >= hi) break;
-    threads.emplace_back(work, lo, hi);
-  }
-  for (auto& th : threads) th.join();
+                    int32_t* counts, int32_t n_threads) {
+  vt::parallel_rows(n_lines, n_threads, 1024,
+                    [&](int64_t lo, int64_t hi) {
+                      for (int64_t row = lo; row < hi; ++row) {
+                        const uint8_t* p = utf8 + starts[row];
+                        const uint8_t* end = utf8 + ends[row];
+                        int32_t n = 0;
+                        for (; p < end; ++p) n += (*p & 0xC0) != 0x80;
+                        counts[row] = n;
+                      }
+                    });
 }
 
 // Detokenize: insert spaces into the ORIGINAL UTF-8 lines at predicted
