@@ -151,6 +151,111 @@ class TestSolverConvergence:
             f"solver {solver}: ours {ours} vs scipy {res.fun}"
         )
 
+    def test_crammer_singer_matches_scipy_objective(self):
+        """Enum 4 = the JOINT Crammer-Singer objective (LIBLINEAR
+        MCSVM_CS, trainer.rs:22-47), not an OVR substitution. Verified on
+        a small multiclass instance against scipy L-BFGS minimizing the
+        SAME Nesterov-smoothed objective (analytic gradient), plus the
+        smoothing-gap bound on the true non-smooth objective."""
+        from scipy.optimize import minimize
+
+        from vaporetto_tpu.train.solver import (
+            CS_SMOOTHING_MU,
+            train_crammer_singer,
+        )
+
+        rng = np.random.default_rng(13)
+        n, d, k, C = 160, 15, 5, 4
+        idx = rng.integers(1, d + 1, size=(n, k)).astype(np.int32)
+        idx[:, -1] = d + 1  # bias feature
+        val = np.ones((n, k), dtype=np.float32)
+        W_true = rng.normal(size=(C, d + 2))
+        margins_true = np.array(
+            [[W_true[c][idx[i]].sum() for c in range(C)] for i in range(n)]
+        )
+        labels = margins_true.argmax(axis=1).astype(np.int32)
+        cost = 1.0
+        mu = CS_SMOOTHING_MU
+
+        W, b = train_crammer_singer(idx, val, labels, C, d, cost, 1e-4,
+                                    max_iter=6000)
+        W_full = np.concatenate([W, b[:, None]], axis=1)  # (C, d+1)
+        onehot = np.eye(C)[labels]
+
+        def margins(Wf):
+            # Wf: (C, d+1) over real features 1..d + bias
+            return np.array(
+                [[Wf[c][idx[i] - 1].sum() for c in range(C)]
+                 for i in range(n)]
+            )
+
+        def smoothed_obj(Wf):
+            m = margins(Wf)
+            s = (m + (1.0 - onehot)) / mu
+            smax = s.max(axis=1, keepdims=True)
+            lse = smax[:, 0] + np.log(np.exp(s - smax).sum(axis=1))
+            f = 0.5 * np.sum(Wf * Wf) + cost * np.sum(
+                mu * lse - (m * onehot).sum(axis=1)
+            )
+            return f
+
+        def true_obj(Wf):
+            m = margins(Wf)
+            s = m + (1.0 - onehot)
+            return 0.5 * np.sum(Wf * Wf) + cost * np.sum(
+                s.max(axis=1) - (m * onehot).sum(axis=1)
+            )
+
+        def scipy_fun(flat):
+            Wf = flat.reshape(C, d + 1)
+            m = margins(Wf)
+            s = (m + (1.0 - onehot)) / mu
+            smax = s.max(axis=1, keepdims=True)
+            e = np.exp(s - smax)
+            p = e / e.sum(axis=1, keepdims=True)
+            lse = smax[:, 0] + np.log(e.sum(axis=1))
+            f = 0.5 * np.sum(Wf * Wf) + cost * np.sum(
+                mu * lse - (m * onehot).sum(axis=1)
+            )
+            dm = cost * (p - onehot)  # (n, C)
+            g = Wf.copy()
+            for i in range(n):
+                for c in range(C):
+                    np.add.at(g[c], idx[i] - 1, dm[i, c])
+            return f, g.reshape(-1)
+
+        ours_smooth = smoothed_obj(W_full)
+        res = minimize(scipy_fun, np.zeros(C * (d + 1)), jac=True,
+                       method="L-BFGS-B", options={"maxiter": 3000})
+        assert ours_smooth <= res.fun * 1.01 + 1e-3, (
+            f"CS smoothed: ours {ours_smooth} vs scipy {res.fun}"
+        )
+        # smoothing gap: true objective within mu*ln(C) per example of
+        # the smoothed optimum
+        gap = cost * n * mu * np.log(C)
+        assert true_obj(W_full) <= res.fun * 1.01 + gap + 1e-3
+
+    def test_crammer_singer_couples_classes(self):
+        """The CS solution must differ from OVR squared hinge (the
+        round-3 substitution) on a problem where they disagree — guards
+        against enum 4 silently regressing to OVR."""
+        from vaporetto_tpu.train.solver import (
+            train_crammer_singer,
+            train_one_vs_rest,
+        )
+
+        rng = np.random.default_rng(3)
+        n, d, k, C = 120, 10, 4, 3
+        idx = rng.integers(1, d + 1, size=(n, k)).astype(np.int32)
+        idx[:, -1] = d + 1
+        val = np.ones((n, k), dtype=np.float32)
+        labels = rng.integers(0, C, size=n).astype(np.int32)
+        W_cs, _ = train_crammer_singer(idx, val, labels, C, d, 1.0, 1e-4,
+                                       max_iter=4000)
+        W_ovr, _ = train_one_vs_rest(idx, val, labels, C, d, 1.0, 1e-4,
+                                     solver=2, max_iter=4000)
+        assert not np.allclose(W_cs, W_ovr, atol=1e-2)
+
     @pytest.mark.parametrize("solver", [5, 6])
     def test_l1_matches_scipy_objective(self, solver):
         """L1-regularized enums (5 = L1R_L2LOSS_SVC, 6 = L1R_LR;

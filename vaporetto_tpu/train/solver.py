@@ -29,7 +29,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-__all__ = ["train_binary", "train_one_vs_rest", "LOGISTIC", "L2_HINGE", "L1_HINGE",
+__all__ = ["train_binary", "train_one_vs_rest", "train_crammer_singer",
+           "train_boundary", "LOGISTIC", "L2_HINGE", "L1_HINGE",
            "solver_loss_kind", "solver_is_l1"]
 
 LOGISTIC = 0
@@ -58,18 +59,23 @@ def solver_loss_kind(solver: int) -> int:
     | 2    | L2R_L2LOSS_SVC (primal) | L2 reg + squared hinge           |
     | 3    | L2R_L1LOSS_SVC_DUAL     | L2 reg + hinge (Nesterov-        |
     |      |                         | smoothed by MU for FISTA)        |
-    | 4    | MCSVM_CS (Crammer-      | one-vs-rest squared hinge —      |
-    |      | Singer multiclass)      | documented substitution          |
+    | 4    | MCSVM_CS (Crammer-      | joint CS objective — see         |
+    |      | Singer multiclass)      | :func:`train_crammer_singer`     |
     | 5    | L1R_L2LOSS_SVC          | L1 reg + squared hinge           |
     | 6    | L1R_LR                  | L1 reg + logistic                |
     | 7    | L2R_LR_DUAL             | L2 reg + logistic (= 0)          |
     """
     if solver in (0, 6, 7):
         return LOGISTIC
-    if solver in (1, 2, 4, 5):
+    if solver in (1, 2, 5):
         return L2_HINGE
     if solver == 3:
         return L1_HINGE
+    if solver == 4:
+        raise ValueError(
+            "enum 4 (MCSVM_CS) has no binary loss; it routes through "
+            "train_crammer_singer"
+        )
     raise ValueError("Unsupported solver type.")
 
 
@@ -196,6 +202,190 @@ def _fista(
     return w
 
 
+#: Nesterov smoothing width for the Crammer-Singer max term: the
+#: log-sum-exp smoothed max overestimates the true max by at most
+#: MU * ln(n_classes) per example and has a (1/MU)-Lipschitz gradient.
+CS_SMOOTHING_MU = 0.01
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("n_dim", "n_classes", "max_iter"),
+)
+def _fista_cs(
+    idx: jax.Array,  # (N, K) int32 feature ids (0 = pad)
+    val: jax.Array,  # (N, K) float32 values
+    labels: jax.Array,  # (N,) int32 class ids 0..C-1
+    sample_mask: jax.Array,  # (N,) float32 1.0 for real rows
+    n_dim: int,
+    n_classes: int,
+    cost: float,
+    eps: float,
+    max_iter: int,
+) -> jax.Array:
+    """FISTA on the Nesterov-smoothed Crammer-Singer primal.
+
+    Objective (LIBLINEAR MCSVM_CS; Crammer & Singer 2001, the solver the
+    reference selects with enum 4, trainer.rs:22-47):
+
+        min_W  0.5 * sum_r ||w_r||^2
+               + C * sum_i [ max_r (w_r.x_i + e_i^r) - w_{y_i}.x_i ]
+
+    with e_i^r = 0 if r == y_i else 1 (so the bracket is the multiclass
+    hinge, >= 0). The non-smooth max is smoothed as
+    MU * logsumexp(s / MU) — the same Nesterov device as the binary hinge
+    (enum 3) — giving softmax gradients and FISTA's accelerated rate.
+    """
+    mu = CS_SMOOTHING_MU
+    onehot = jax.nn.one_hot(labels, n_classes, dtype=jnp.float32)
+
+    def matvec(W):  # (C, n_dim) -> (N, C) margins
+        return jnp.einsum("nkc,nk->nc", W.T[idx], val)
+
+    def rmatvec(R):  # (N, C) -> (C, n_dim)
+        contrib = (val[:, :, None] * R[:, None, :]).reshape(-1, n_classes)
+        return jax.ops.segment_sum(
+            contrib, idx.reshape(-1), num_segments=n_dim
+        ).T
+
+    def f_grad(W):
+        m = matvec(W)  # (N, C)
+        s = (m + (1.0 - onehot)) / mu
+        # smoothed loss: mu * LSE(s) - m[y]; gradient wrt m: softmax - 1_y
+        lse = jax.scipy.special.logsumexp(s, axis=1)
+        f_loss = mu * lse - jnp.sum(m * onehot, axis=1)
+        p = jax.nn.softmax(s, axis=1)
+        dm = (p - onehot) * sample_mask[:, None]
+        g = cost * rmatvec(dm) + W
+        f = cost * jnp.sum(f_loss * sample_mask) + 0.5 * jnp.sum(W * W)
+        g = g.at[:, 0].set(0.0)  # padding slot carries no real feature
+        return f, g
+
+    # Lipschitz: ||X||^2 * (softmax curvature 1/mu) * C + 1 (regularizer)
+    def power_body(_, v):
+        v = jax.ops.segment_sum(
+            (val * jnp.sum(v[idx] * val, axis=1)[:, None]).reshape(-1),
+            idx.reshape(-1), num_segments=n_dim,
+        )
+        return v / (jnp.linalg.norm(v) + 1e-30)
+
+    v0 = jnp.ones((n_dim,), dtype=jnp.float32) / np.sqrt(n_dim)
+    v = jax.lax.fori_loop(0, 16, power_body, v0)
+    sigma2 = jnp.linalg.norm(
+        jax.ops.segment_sum(
+            (val * jnp.sum(v[idx] * val, axis=1)[:, None]).reshape(-1),
+            idx.reshape(-1), num_segments=n_dim,
+        )
+    )
+    lip = cost * sigma2 / mu + 1.0 + 1e-6
+    step = 1.0 / lip
+
+    W0 = jnp.zeros((n_classes, n_dim), dtype=jnp.float32)
+
+    def body(state):
+        W, Z, t, _, it = state
+        _, g = f_grad(Z)
+        W_new = Z - step * g
+        t_new = 0.5 * (1.0 + jnp.sqrt(1.0 + 4.0 * t * t))
+        Z_new = W_new + ((t - 1.0) / t_new) * (W_new - W)
+        delta = jnp.max(jnp.abs(W_new - W))
+        return W_new, Z_new, t_new, delta, it + 1
+
+    def cond(state):
+        _, _, _, delta, it = state
+        return (it < max_iter) & ((it < 8) | (delta > eps * step * 100.0))
+
+    W, _, _, _, _ = jax.lax.while_loop(
+        cond, body, (W0, W0, jnp.float32(1.0), jnp.float32(jnp.inf), 0)
+    )
+    return W
+
+
+def train_crammer_singer(
+    idx: np.ndarray,
+    val: np.ndarray,
+    labels: np.ndarray,  # (N,) int class ids 0..C-1
+    n_classes: int,
+    n_features: int,
+    cost: float,
+    eps: float,
+    max_iter: int = 2000,
+    mesh=None,
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Joint Crammer-Singer multiclass training (LIBLINEAR MCSVM_CS,
+    solver enum 4); returns (W[C, D], biases[C]).
+
+    Unlike :func:`train_one_vs_rest` the C weight vectors are coupled
+    through the shared max term — the faithful counterpart of the
+    reference's enum 4 (trainer.rs:22-47), not an OVR substitution. The
+    bias rides as the appended constant feature D+1, exactly as LIBLINEAR
+    applies its ``bias(1.0)`` problem setting to every solver.
+    """
+    n_dim = max(16, 1 << (n_features + 1).bit_length())
+    n = len(labels)
+    n_pad = max(8, 1 << (n - 1).bit_length())
+    k_pad = max(8, 1 << (idx.shape[1] - 1).bit_length())
+    if mesh is not None:
+        ndev = int(np.prod(mesh.devices.shape))
+        n_pad = ((n_pad + ndev - 1) // ndev) * ndev
+    idx_p = np.zeros((n_pad, k_pad), dtype=np.int32)
+    val_p = np.zeros((n_pad, k_pad), dtype=np.float32)
+    idx_p[:n, : idx.shape[1]] = idx
+    val_p[:n, : idx.shape[1]] = val
+    y_p = np.zeros(n_pad, dtype=np.int32)
+    y_p[:n] = labels
+    mask = np.zeros(n_pad, dtype=np.float32)
+    mask[:n] = 1.0
+    if mesh is not None:
+        idx_p, val_p, y_p, mask = _shard_examples(mesh, idx_p, val_p, y_p,
+                                                  mask)
+    with _use_mesh(mesh):
+        W = _fista_cs(
+            jnp.asarray(idx_p), jnp.asarray(val_p), jnp.asarray(y_p),
+            jnp.asarray(mask), n_dim, int(n_classes), float(cost),
+            float(eps), max_iter,
+        )
+    W = np.asarray(W, dtype=np.float64)
+    return W[:, 1 : n_features + 1], W[:, n_features + 1].copy()
+
+
+def train_boundary(
+    idx: np.ndarray,
+    val: np.ndarray,
+    ys: np.ndarray,  # (N,) raw CharacterBoundary labels (0/1/2)
+    n_features: int,
+    cost: float,
+    eps: float,
+    solver: int,
+    max_iter: int = 2000,
+    mesh=None,
+) -> Tuple[np.ndarray, float]:
+    """The boundary trainer's solve: the WordBoundary weight column.
+
+    Mirrors the reference's extraction (trainer.rs:366-397:
+    ``feature_coefficient(fid, wb_idx)``): binary solvers collapse to
+    WordBoundary-vs-rest (LIBLINEAR's internal OVR over the label set,
+    which may include Unknown = 2 from partial annotation); enum 4 solves
+    the JOINT Crammer-Singer problem over all present labels and returns
+    the WordBoundary class's row.
+    """
+    if solver == 4:
+        uniq = np.unique(np.asarray(ys))
+        wb_pos = np.flatnonzero(uniq == 1)
+        if len(wb_pos) == 0:
+            raise ValueError("no WordBoundary examples")
+        labels = np.searchsorted(uniq, np.asarray(ys)).astype(np.int32)
+        W, b = train_crammer_singer(
+            idx, val, labels, len(uniq), n_features, cost, eps,
+            max_iter, mesh=mesh,
+        )
+        wb = int(wb_pos[0])
+        return W[wb], float(b[wb])
+    y_pm = np.where(np.asarray(ys) == 1, 1.0, -1.0)
+    return train_binary(idx, val, y_pm, n_features, cost, eps, solver,
+                        max_iter, mesh=mesh)
+
+
 class _null_ctx:
     def __enter__(self):
         return self
@@ -247,7 +437,16 @@ def train_binary(
     arrays are sharded over the mesh's devices and the FISTA solve runs
     data-parallel — the TPU-native analogue of LIBLINEAR multi-core, and
     the multi-host training path.
+
+    Enum 4 (MCSVM_CS) routes through the joint 2-class Crammer-Singer
+    solve and returns the +1 class's row (at the CS optimum the two rows
+    are exact negations by symmetry).
     """
+    if solver == 4:
+        labels = np.where(np.asarray(y_pm) > 0, 0, 1).astype(np.int32)
+        W, b = train_crammer_singer(idx, val, labels, 2, n_features,
+                                    cost, eps, max_iter, mesh=mesh)
+        return W[0], float(b[0])
     loss_kind = solver_loss_kind(solver)
     l1 = solver_is_l1(solver)
     # n_dim is also padded to a power of two (unused slots stay zero)
@@ -310,8 +509,15 @@ def train_one_vs_rest(
 
     Matches LIBLINEAR's multiclass strategy for its binary solvers. For
     exactly two classes the two rows are exact negations, as in LIBLINEAR's
-    single-model binary case.
+    single-model binary case. Enum 4 (MCSVM_CS) instead solves the JOINT
+    Crammer-Singer objective (:func:`train_crammer_singer`), matching
+    LIBLINEAR's one true multiclass solver.
     """
+    if solver == 4:
+        return train_crammer_singer(
+            idx, val, np.asarray(labels, dtype=np.int32), n_classes,
+            n_features, cost, eps, max_iter, mesh=mesh,
+        )
     W = np.zeros((n_classes, n_features), dtype=np.float64)
     biases = np.zeros(n_classes, dtype=np.float64)
     if n_classes == 2:

@@ -33,7 +33,7 @@ import numpy as np
 from ..errors import invalid_argument, invalid_model
 from ..models.model import Model, NgramData, WordWeightRecord
 from ..sentence import Sentence
-from .solver import train_binary
+from .solver import train_boundary
 from .tag_trainer import TagTrainer
 
 QUANTIZE_BIT_DEPTH = 16  # reference trainer.rs:17-18
@@ -279,9 +279,10 @@ class Trainer:
                 val[r, len(x)] = 1.0
             ys = np.asarray(self.ys)
             feature_items = list(self.feature_ids.items())
-        y_pm = np.where(ys == 1, 1.0, -1.0)  # WordBoundary one-vs-rest
-        w, bias_raw = train_binary(idx, val, y_pm, D, cost, epsilon, solver,
-                                   mesh=mesh)
+        # WordBoundary weight column (binary solvers: WB-vs-rest; enum 4:
+        # the WB row of a joint Crammer-Singer solve — trainer.rs:366-397)
+        w, bias_raw = train_boundary(idx, val, ys, D, cost, epsilon, solver,
+                                     mesh=mesh)
 
         weight_max = max(abs(bias_raw), float(np.abs(w).max()) if D else 0.0)
         quantize_multiplier = weight_max / ((1 << (QUANTIZE_BIT_DEPTH - 1)) - 1)
