@@ -50,8 +50,10 @@ def test_embedded_artifact_example():
         cwd="/root/repo",
     )
     assert out.returncode == 0, out.stderr
-    assert "compiled artifact:" in out.stdout
+    assert "compiled artifact (flash analogue):" in out.stdout
+    assert "packed runtime tables (RAM analogue):" in out.stdout
     assert "artifact load:" in out.stdout
+    assert "load-to-first-predict:" in out.stdout
     assert out.stdout.rstrip().endswith(
         "まぁ/名詞/マー 社長/名詞/シャチョー は/助詞/ワ "
         "火星/名詞/カセー 猫/名詞/ネコ だ/助動詞/ダ"

@@ -79,13 +79,20 @@ def main(argv: Optional[List[str]] = None) -> int:
     predictor = Predictor(model, args.predict_tags, backend=args.backend)
 
     print("Start tokenization", file=sys.stderr)
-    results = []
+    # Streaming accumulation: the confusion/word counts are additive, so
+    # each flushed batch folds into running totals and neither the gold
+    # corpus nor the per-line results are ever materialized — constant
+    # memory at BCCWJ scale (the reference's per-line loop has the same
+    # property, evaluate/src/main.rs:69-119).
+    counts = [0, 0, 0]  # word: n_sys, n_ref, n_cor
+    ccounts = [0, 0, 0, 0]  # char: tp, tn, fp, fn
     pending = []  # (ref_boundaries, ref_tags, sentence)
 
     def flush() -> None:
         if not pending:
             return
         predictor.predict_batch([s for _, _, s in pending])
+        batch_results = []
         for ref_b, ref_t, s in pending:
             for f in post_filters:
                 f.filter(s)
@@ -94,18 +101,35 @@ def main(argv: Optional[List[str]] = None) -> int:
             sys_b = [int(b) for b in s.boundaries]
             n = s.n_tags
             sys_t = [s.tags[i * n : (i + 1) * n] for i in range(len(sys_b) + 1)]
-            results.append((ref_b, ref_t, sys_b, sys_t))
+            batch_results.append((ref_b, ref_t, sys_b, sys_t))
         pending.clear()
+        if args.metric == "char":
+            m = char_metric(batch_results)
+            ccounts[0] += m.tp
+            ccounts[1] += m.tn
+            ccounts[2] += m.fp
+            ccounts[3] += m.fn
+        else:
+            m = word_metric(batch_results)
+            counts[0] += m.n_sys
+            counts[1] += m.n_ref
+            counts[2] += m.n_cor
 
-    if args.input is not None:
-        with open(args.input, encoding="utf-8") as f:
-            lines = [ln for ln in iter_lines(f)]
-    else:
-        lines = iter_lines(sys.stdin)
+    def line_stream():
+        if args.input is not None:
+            with open(args.input, encoding="utf-8") as f:
+                yield from iter_lines(f)
+        else:
+            yield from iter_lines(sys.stdin)
+
+    lines = line_stream()
     if distributed:
-        from ..parallel.data import host_shard
+        import jax
 
-        lines = [line for _, line in host_shard(list(lines))]
+        pid, pcount = jax.process_index(), jax.process_count()
+        lines = (
+            line for i, line in enumerate(lines) if i % pcount == pid
+        )
 
     for line in lines:
         if not line:
@@ -124,7 +148,7 @@ def main(argv: Optional[List[str]] = None) -> int:
     flush()
 
     if args.metric == "char":
-        m = char_metric(results)
+        m = char_metric_from_counts(*ccounts)
         if distributed:
             from ..parallel.distributed import metric_allreduce
 
@@ -141,7 +165,7 @@ def main(argv: Optional[List[str]] = None) -> int:
         print(f"F1: {m.f1}")
         print(f"TP: {m.tp}, TN: {m.tn}, FP: {m.fp}, FN: {m.fn}")
     else:
-        m = word_metric(results)
+        m = word_metric_from_counts(*counts)
         if distributed:
             from ..parallel.distributed import metric_allreduce
 
