@@ -39,6 +39,32 @@ def build_post_filters(wsconst_values: List[str]):
     return filters
 
 
+BACKEND_HELP = (
+    "device = jitted TPU pipeline (bulk throughput); host = native C++ "
+    "evaluator (low latency, bit-identical); auto (default) = probe the "
+    "attached accelerator and pick the faster engine "
+    "(utils/routing.py; override with VAPORETTO_TPU_BACKEND)."
+)
+
+
+def build_predictor(model, predict_tags: bool, backend_flag: str,
+                    need_device: bool = False):
+    """Construct a Predictor, resolving ``--backend auto`` to the faster
+    engine for this machine (see utils/routing.py)."""
+    from ..predictor import Predictor
+    from ..utils.routing import resolve_backend
+
+    p = Predictor(
+        model, predict_tags,
+        backend=backend_flag if backend_flag != "auto" else "device",
+    )
+    if backend_flag == "auto":
+        p.backend = resolve_backend(
+            "auto", p._host() is not None, need_device=need_device
+        )
+    return p
+
+
 def validate_multiprocess_args(parser, args) -> None:
     """Multi-process flag sanity: ``--num-processes N`` (N > 1) requires
     ``--process-id`` and ``--coordinator`` — passing None straight into

@@ -26,12 +26,13 @@ from ..metrics import (
     word_metric_from_counts,
 )
 from ..models.model import Model
-from ..predictor import Predictor
 from ..rules import KyteaFullwidthFilter
 from ..sentence import Sentence
 from .common import (
+    BACKEND_HELP,
     WSCONST_HELP,
     build_post_filters,
+    build_predictor,
     iter_lines,
     validate_multiprocess_args,
 )
@@ -49,10 +50,8 @@ def main(argv: Optional[List[str]] = None) -> int:
     p.add_argument("--no-norm", action="store_true")
     p.add_argument("--metric", choices=["char", "word"], default="char")
     p.add_argument("--batch-size", type=int, default=BATCH)
-    p.add_argument("--backend", choices=("device", "host"),
-                   default="device",
-                   help="device = jitted TPU pipeline; host = native "
-                   "C++ evaluator (bit-identical).")
+    p.add_argument("--backend", choices=("device", "host", "auto"),
+                   default="auto", help=BACKEND_HELP)
     p.add_argument("--input", default=None,
                    help="Gold corpus file (default: stdin; required for "
                    "multi-process runs).")
@@ -76,7 +75,7 @@ def main(argv: Optional[List[str]] = None) -> int:
 
     print("Loading model file...", file=sys.stderr)
     model = Model.read(args.model)
-    predictor = Predictor(model, args.predict_tags, backend=args.backend)
+    predictor = build_predictor(model, args.predict_tags, args.backend)
 
     print("Start tokenization", file=sys.stderr)
     # Streaming accumulation: the confusion/word counts are additive, so

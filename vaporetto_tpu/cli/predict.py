@@ -20,12 +20,13 @@ import time
 from typing import List, Optional
 
 from ..models.model import Model
-from ..predictor import Predictor
 from ..rules import KyteaFullwidthFilter
 from ..sentence import Sentence
 from .common import (
+    BACKEND_HELP,
     WSCONST_HELP,
     build_post_filters,
+    build_predictor,
     iter_lines,
     validate_multiprocess_args,
 )
@@ -51,9 +52,8 @@ def main(argv: Optional[List[str]] = None) -> int:
     p.add_argument("--batch-size", type=int, default=None,
                    help="Lines per device batch (default: 256 on the "
                    "general path, 8192 on the lean serving path).")
-    p.add_argument("--backend", choices=("device", "host"), default="device",
-                   help="device = jitted TPU pipeline (throughput); host = "
-                   "native C++ evaluator (low latency, bit-identical).")
+    p.add_argument("--backend", choices=("device", "host", "auto"),
+                   default="auto", help=BACKEND_HELP)
     p.add_argument("--no-lean", action="store_true",
                    help="Disable the lean serving fast path (native "
                    "tensorize -> uint16/int8 device kernel -> native "
@@ -104,7 +104,9 @@ def _dispatch_modes(args) -> int:
 
     print("Loading model file...", file=sys.stderr)
     model = Model.read(args.model)
-    predictor = Predictor(model, args.predict_tags, backend=args.backend)
+    predictor = build_predictor(model, args.predict_tags, args.backend,
+                                need_device=bool(args.dp))
+    args.backend = predictor.backend  # resolved engine for the lean router
     if args.tag_scores:
         predictor.store_tag_scores(True)
 
@@ -316,7 +318,8 @@ def _run_dist(args) -> int:
 
     print("Loading model file...", file=sys.stderr)
     model = Model.read(args.model)
-    predictor = Predictor(model, args.predict_tags, backend=args.backend)
+    predictor = build_predictor(model, args.predict_tags, args.backend)
+    args.backend = predictor.backend
     if args.tag_scores:
         predictor.store_tag_scores(True)
 
