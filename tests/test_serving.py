@@ -647,3 +647,18 @@ class TestLeanHostTags:
         want = general_path(bundled_pred, lines)
         got = lean_path(host_pred, lines, batch_lines=2)
         assert got == want
+
+
+def test_arith_char_type_classification_parity():
+    """The serve kernel's range-compare char typing must equal the
+    table (reference sentence.rs:50-67) for every BMP codepoint."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from vaporetto_tpu.ops.match import classify_types_bmp_arith
+    from vaporetto_tpu.sentence import _CHAR_TYPE_TABLE_SMALL
+
+    cps = jnp.asarray(np.arange(65536, dtype=np.int32)[None, :])
+    got = np.asarray(jax.jit(classify_types_bmp_arith)(cps))[0]
+    assert (got == _CHAR_TYPE_TABLE_SMALL.astype(np.int32)).all()

@@ -21,7 +21,80 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-__all__ = ["scatter_add_scores", "shift_add_scores", "type_cache_scores"]
+__all__ = ["scatter_add_scores", "shift_add_scores", "type_cache_scores",
+           "wide_add_scores", "build_wide_rows", "wide_offset_span"]
+
+#: widened-row scoring is used when every pattern's weight span (all its
+#: 8-lane chunks, anchored at the matcher's minimum offset) fits within
+#: this many slots ...
+WIDE_MAX_W = 32
+#: ... and the widened table stays under this many bytes
+WIDE_MAX_BYTES = 128 * 1024 * 1024
+
+
+def wide_offset_span(matcher_np):
+    """(base_offset, row_width) of the widened scoring table for this
+    matcher, or None when the widened path does not apply (offset spread
+    or chunk counts produce rows wider than WIDE_MAX_W, or the table
+    would be oversized)."""
+    rc = matcher_np.rows_cnt
+    sel = rc > 0
+    if not sel.any():
+        return None
+    d0 = int(matcher_np.off[matcher_np.rows_first[sel]].min())
+    W = int(matcher_np.off.max()) + 8 - d0  # every chunk c sits at b + 8c
+    if W > WIDE_MAX_W:
+        return None
+    if (len(rc) + 1) * W * 4 > WIDE_MAX_BYTES:
+        return None
+    return d0, W
+
+
+def build_wide_rows(matcher_np):
+    """Pre-shift every pattern's weight chunks into one (n_ids + 1, W)
+    row anchored at the matcher's minimum offset.
+
+    Scoring then needs NO per-offset masking and NO chunk loop: one
+    gather + W shifted adds, with the trailing all-zero row serving as
+    the no-match target (index n_ids). Returns (w_wide, d0) or None
+    (see :func:`wide_offset_span`). Identical arithmetic to the
+    per-offset formulation — int32 adds merely reassociated.
+    """
+    meta = wide_offset_span(matcher_np)
+    if meta is None:
+        return None
+    d0, W = meta
+    n_ids = len(matcher_np.rows_cnt)
+    w_wide = np.zeros((n_ids + 1, W), dtype=np.int32)
+    # id owning each weight row; chunks of one id land in disjoint
+    # columns (offsets step by 8), so plain fancy assignment suffices
+    id_of_row = np.repeat(
+        np.arange(n_ids, dtype=np.int64), matcher_np.rows_cnt
+    )
+    n_rows = len(id_of_row)
+    cols = (matcher_np.off[:n_rows] - d0)[:, None] + np.arange(8)[None, :]
+    w_wide[id_of_row[:, None], cols] = matcher_np.w8[:n_rows]
+    return w_wide, d0
+
+
+def wide_add_scores(
+    match: jax.Array,  # (B, L) int32 pattern id or -1
+    w_wide: jax.Array,  # (n_ids + 1, W) int32 pre-shifted weight rows
+    d0: int,  # common base offset of every row
+    scores: jax.Array,  # (B, S) int32 padded score buffer
+    pad_left: int,
+) -> jax.Array:
+    """Widened-row scoring: ``scores[b, t + pad_left + d0 + j] +=
+    w_wide[match, j]``; the -1 no-match id maps to the all-zero row."""
+    B, L = match.shape
+    n_zero = w_wide.shape[0] - 1
+    W = w_wide.shape[1]
+    row = jnp.where(match >= 0, match, n_zero)
+    w = w_wide[row]  # (B, L, W)
+    for j in range(W):
+        start = pad_left + d0 + j
+        scores = scores.at[:, start : start + L].add(w[:, :, j])
+    return scores
 
 #: above this many unrolled slice-add terms, the scatter formulation wins:
 #: its trace is max_chunks scatter ops instead of a long slice-add unroll

@@ -77,25 +77,29 @@ class Predictor:
             t = {}
             import os
 
-            # Benchmarking on TPU v5e showed the XLA cost is per gather op,
-            # not per table byte: one dense-table gather beats several
-            # small-table gathers. The hash/positional variants remain
-            # opt-in for experimentation on other backends.
+            # Profiling on the TPU (round 4) showed each gather runs as
+            # its own fused kernel with cost tiered by table size: small
+            # tables are ~4x cheaper per gather than 64 Ki+ tables. The
+            # projection therefore always rides the collision-free hash
+            # (a few-KB (P, 2) table, one gather) rather than a dense
+            # 64 Ki/1 Mi-entry table.
             use_small_tables = (
                 os.environ.get("VAPORETTO_TPU_SMALL_TABLES") == "1"
             )
+            from .ops.match import build_walk_tab
+            from .ops.score import build_wide_rows
+
             if c.char_matcher is not None:
                 m = c.char_matcher
-                if use_small_tables and c.char_hash_keys is not None:
-                    t["char_hash"] = (
-                        jnp.asarray(c.char_hash_keys),
-                        jnp.asarray(c.char_hash_syms),
+                if c.char_hash_keys is not None:
+                    t["char_hash2"] = jnp.asarray(
+                        np.stack(
+                            [c.char_hash_keys, c.char_hash_syms], axis=1
+                        ).astype(np.int32)
                     )
                 else:
-                    # shrink the projection table to keep it VMEM-resident:
-                    # practical models have only BMP pattern chars, so a
-                    # 64Ki-entry table in the narrowest dtype suffices
-                    # (astral input chars are OOV -> symbol 0)
+                    # hashless artifact (older compile): dense fallback,
+                    # shrunk to the BMP when possible
                     sym_tab = c.char_sym_table
                     bmp_only = not sym_tab[0x10000:].any()
                     n_syms = int(sym_tab.max())
@@ -108,18 +112,26 @@ class Predictor:
                         t["char_sym_bmp"] = jnp.asarray(small)
                     else:
                         t["char_sym"] = jnp.asarray(c.char_sym_table)
+                walk_tab, _, _ = build_walk_tab(m.base, m.check, m.inherit)
                 t["char"] = tuple(
                     jnp.asarray(x)
-                    for x in (m.base, m.check, m.inherit, m.rows_first,
+                    for x in (walk_tab, m.rows_first,
                               m.rows_cnt, m.w8, m.off)
                 )
+                wide = build_wide_rows(m)
+                if wide is not None:
+                    t["char_wide"] = jnp.asarray(wide[0])
             if c.type_matcher is not None:
                 m = c.type_matcher
+                walk_tab, _, _ = build_walk_tab(m.base, m.check, m.inherit)
                 t["type"] = tuple(
                     jnp.asarray(x)
-                    for x in (m.base, m.check, m.inherit, m.rows_first,
+                    for x in (walk_tab, m.rows_first,
                               m.rows_cnt, m.w8, m.off)
                 )
+                wide = build_wide_rows(m)
+                if wide is not None:
+                    t["type_wide"] = jnp.asarray(wide[0])
             if use_small_tables and c.type_pos_tables is not None:
                 t["type_pos"] = jnp.asarray(c.type_pos_tables)
             elif c.type_cache_table is not None:
@@ -189,37 +201,80 @@ class Predictor:
 
         return wrapper
 
-    def serve_traced_fn(self, wsconst_types: Tuple[int, ...] = ()):
-        """The unjitted serving function and its table pytree:
-        ``fn(cps, lengths, tables) -> int8 (B, L-1)`` (see
-        :meth:`serve_boundaries_fn`). Tables are passed as arguments so
-        callers control jit/sharding/loop composition (the benchmark
-        harness scans this inside one program)."""
-        import jax
+    def _serve_tables(self, wsconst_types: Tuple[int, ...]):
         import jax.numpy as jnp
 
-        from .sentence import _CHAR_TYPE_TABLE_SMALL, CharacterType
+        from .sentence import _CHAR_TYPE_TABLE_SMALL
 
         tables = dict(self._tables())
         tables["ctype_bmp"] = jnp.asarray(_CHAR_TYPE_TABLE_SMALL)
+        return tables
+
+    def _make_serve_core(self, wsconst_types: Tuple[int, ...]):
+        """Shared serve prologue: ``fn(cps, lengths, tables) ->
+        (gaps bool (B, L-1), cps32, cts, gap_scores, char_match,
+        type_match)`` with char typing, wsconst suppression, and the
+        out-of-line gap mask applied.
+
+        uint16 batches classify char types ARITHMETICALLY (range
+        compares — pure elementwise, fuses for free) instead of gathering
+        the 64 KiB type table; int32 (astral-bearing) batches take the
+        table-classify fallback — identical results
+        (tests/test_serving.py)."""
+        import jax
+        import jax.numpy as jnp
+
+        from .ops.match import classify_types_bmp_arith
+        from .sentence import CharacterType
+
         c = self.compiled
-        traced = _make_traced_fn(c)
+        core = _make_score_core(c)
         pad_left = c.pad_left
         # plain Python ints: eager jnp scalars would be closed over as
         # device-buffer constants, which the axon tunnel re-ships on every
         # call (~16 ms each; see PERF.md)
         kanji = int(CharacterType.KANJI)
         other = int(CharacterType.OTHER)
+        has_char = c.char_matcher is not None
 
         def fn(cps, lengths, tables):
             B, L = cps.shape
-            cps, cts = _classify_types(cps, tables, kanji, other)
-            scores, _, _ = traced(cps, cts, lengths, tables)
-            gaps = scores[:, pad_left : pad_left + L - 1] > 0
-            for wt in wsconst_types:
-                gaps = gaps & ~((cts[:, :-1] == wt) & (cts[:, 1:] == wt))
+            cps32 = cps.astype(jnp.int32)
+            if cps.dtype == jnp.uint16:
+                cts = classify_types_bmp_arith(cps32)
+            else:
+                cps32, cts = _classify_types(cps, tables, kanji, other)
+            syms = (
+                _project_char_syms(c, cps32, tables) if has_char else None
+            )
+            scores, cm, tm = core(syms, cts, lengths, tables)
+            gap_scores = scores[:, pad_left : pad_left + L - 1]
+            gaps = gap_scores > 0
+            if wsconst_types:
+                ct0, ct1 = cts[:, :-1], cts[:, 1:]
+                ws = ct0 == jnp.int32(wsconst_types[0])
+                for wt in wsconst_types[1:]:
+                    ws = ws | (ct0 == jnp.int32(wt))
+                gaps = gaps & ~(ws & (ct0 == ct1))
             t_idx = jax.lax.broadcasted_iota(jnp.int32, (B, L - 1), 1)
             gaps = gaps & (t_idx < (lengths[:, None] - 1))
+            return gaps, cps32, cts, gap_scores, cm, tm
+
+        return fn
+
+    def serve_traced_fn(self, wsconst_types: Tuple[int, ...] = ()):
+        """The unjitted serving function and its table pytree:
+        ``fn(cps, lengths, tables) -> int8 (B, L-1)`` (see
+        :meth:`serve_boundaries_fn`). Tables are passed as arguments so
+        callers control jit/sharding/loop composition (the benchmark
+        harness scans this inside one program)."""
+        import jax.numpy as jnp
+
+        serve = self._make_serve_core(wsconst_types)
+        tables = self._serve_tables(wsconst_types)
+
+        def fn(cps, lengths, tables):
+            gaps, _, _, _, _, _ = serve(cps, lengths, tables)
             return gaps.astype(jnp.int8)
 
         return fn, tables
@@ -358,29 +413,13 @@ class Predictor:
         scores); ~5 B/char readback instead of the 16 B/char general
         path.
         """
-        import jax
         import jax.numpy as jnp
 
-        from .sentence import _CHAR_TYPE_TABLE_SMALL, CharacterType
-
-        tables = dict(self._tables())
-        tables["ctype_bmp"] = jnp.asarray(_CHAR_TYPE_TABLE_SMALL)
-        c = self.compiled
-        traced = _make_traced_fn(c)
-        pad_left = c.pad_left
-        kanji = int(CharacterType.KANJI)
-        other = int(CharacterType.OTHER)
+        serve = self._make_serve_core(wsconst_types)
+        tables = self._serve_tables(wsconst_types)
 
         def fn(cps, lengths, tables):
-            B, L = cps.shape
-            cps, cts = _classify_types(cps, tables, kanji, other)
-            scores, _, _ = traced(cps, cts, lengths, tables)
-            gap_scores = scores[:, pad_left : pad_left + L - 1]
-            gaps = gap_scores > 0
-            for wt in wsconst_types:
-                gaps = gaps & ~((cts[:, :-1] == wt) & (cts[:, 1:] == wt))
-            t_idx = jax.lax.broadcasted_iota(jnp.int32, (B, L - 1), 1)
-            gaps = gaps & (t_idx < (lengths[:, None] - 1))
+            gaps, _, _, gap_scores, _, _ = serve(cps, lengths, tables)
             return gaps.astype(jnp.int8), gap_scores
 
         return fn, tables
@@ -461,13 +500,11 @@ class Predictor:
         from jax import lax
 
         from .compile.tagdev import _M1, _M2
-        from .sentence import _CHAR_TYPE_TABLE_SMALL, CharacterType
 
         dt = self.device_tag_tables()
         if dt is None:
             raise RuntimeError("model has no device-packable tag tables")
-        tables = dict(self._tables())
-        tables["ctype_bmp"] = jnp.asarray(_CHAR_TYPE_TABLE_SMALL)
+        tables = self._serve_tables(wsconst_types)
         tables["tag_rev"] = (
             jnp.asarray(dt.rev_sym_bmp),
             jnp.asarray(dt.rev_base),
@@ -488,10 +525,7 @@ class Predictor:
             )
 
         c = self.compiled
-        traced = _make_traced_fn(c)
-        pad_left = c.pad_left
-        kanji = int(CharacterType.KANJI)
-        other = int(CharacterType.OTHER)
+        serve_core = self._make_serve_core(wsconst_types)
         max_tok_len = dt.max_tok_len
         n_tokens = dt.n_tokens
         S = dt.n_slots
@@ -506,15 +540,9 @@ class Predictor:
 
         def fn(cps, lengths, tables):
             B, L = cps.shape
-            cps, cts = _classify_types(cps, tables, kanji, other)
-            scores, char_match, type_match = traced(
-                cps, cts, lengths, tables
+            gaps, cps, _, _, char_match, type_match = serve_core(
+                cps, lengths, tables
             )
-            gaps = scores[:, pad_left : pad_left + L - 1] > 0
-            for wt in wsconst_types:
-                gaps = gaps & ~((cts[:, :-1] == wt) & (cts[:, 1:] == wt))
-            t_idx = lax.broadcasted_iota(jnp.int32, (B, L - 1), 1)
-            gaps = gaps & (t_idx < (lengths[:, None] - 1))
 
             # ---- token spans from the boundary mask -------------------
             iota = lax.broadcasted_iota(jnp.int32, (B, L), 1)
@@ -1110,50 +1138,59 @@ def _build_predict_fn(compiled: CompiledModel, tables):
     return fn
 
 
-def _make_traced_fn(c):
+def _make_score_core(c):
+    """The scoring core over PRE-PROJECTED char symbols: callers supply
+    ``syms`` (dense char symbol ids, 0 = OOV/padding) so the lean serve
+    kernel can produce them from one fused (sym, ctype) table gather."""
     import jax
     import jax.numpy as jnp
 
-    from .ops.match import hash_project, match_longest
-    from .ops.score import shift_add_scores, type_cache_scores, type_pos_scores
+    from .ops.match import match_longest_fused
+    from .ops.score import (
+        shift_add_scores,
+        type_cache_scores,
+        type_pos_scores,
+        wide_add_scores,
+        wide_offset_span,
+    )
 
     pad_left = c.pad_left
     pad_right = c.pad_right
     bias = c.bias
+    char_wide_meta = (
+        wide_offset_span(c.char_matcher) if c.char_matcher else None
+    )
+    type_wide_meta = (
+        wide_offset_span(c.type_matcher) if c.type_matcher else None
+    )
     # per-position match states are only consumed by tag scoring; on a
     # bandwidth-bound pipeline not returning them lets XLA drop the
     # (B, L) int32 stores (~4 B/char of HBM writes) from the hot path
     want_states = c.tag_meta is not None
 
-    def fn(cps, cts, lengths, tables):
-        B, L = cps.shape
+    def core(syms, cts, lengths, tables):
+        B, L = cts.shape
         S = pad_left + (L - 1) + pad_right
         scores = jnp.full((B, S), bias, dtype=jnp.int32)
         char_match = None
         type_match = None
         if "char" in tables:
-            base, check, inherit, rf, rc, w8, off = tables["char"]
-            if "char_hash" in tables:
-                keys, hsyms = tables["char_hash"]
-                syms = hash_project(
-                    cps, c.char_hash_mul, c.char_hash_shift, keys, hsyms
-                )
-            elif "char_sym_bmp" in tables:
-                bmp = cps < 0x10000
-                safe = jnp.where(bmp, cps, 0)
-                syms = jnp.where(
-                    bmp, tables["char_sym_bmp"][safe].astype(jnp.int32), 0
+            walk_tab, rf, rc, w8, off = tables["char"]
+            char_match = match_longest_fused(
+                syms, walk_tab, c.char_matcher.max_len,
+                dead=walk_tab.shape[0] - 1,
+                root_base=int(c.char_matcher.base[0]),
+            )
+            if "char_wide" in tables and char_wide_meta is not None:
+                scores = wide_add_scores(
+                    char_match, tables["char_wide"], char_wide_meta[0],
+                    scores, pad_left,
                 )
             else:
-                syms = tables["char_sym"][cps]
-            # padding codepoints (0) project to symbol 0 = OOV
-            char_match = match_longest(
-                syms, base, check, inherit, c.char_matcher.max_len
-            )
-            scores = shift_add_scores(
-                char_match, rf, rc, w8, off, c.char_matcher, scores,
-                pad_left, c.char_matcher.max_chunks,
-            )
+                scores = shift_add_scores(
+                    char_match, rf, rc, w8, off, c.char_matcher, scores,
+                    pad_left, c.char_matcher.max_chunks,
+                )
         if "type_pos" in tables:
             scores = type_pos_scores(
                 cts, lengths, tables["type_pos"], c.type_window_size,
@@ -1165,18 +1202,57 @@ def _make_traced_fn(c):
                 scores, pad_left,
             )
         elif "type" in tables:
-            base, check, inherit, rf, rc, w8, off = tables["type"]
+            walk_tab, rf, rc, w8, off = tables["type"]
             t_idx = jax.lax.broadcasted_iota(jnp.int32, cts.shape, 1)
-            syms = jnp.where(t_idx < lengths[:, None], cts, 0)
-            type_match = match_longest(
-                syms, base, check, inherit, c.type_matcher.max_len
+            tsyms = jnp.where(t_idx < lengths[:, None], cts, 0)
+            type_match = match_longest_fused(
+                tsyms, walk_tab, c.type_matcher.max_len,
+                dead=walk_tab.shape[0] - 1,
+                root_base=int(c.type_matcher.base[0]),
             )
-            scores = shift_add_scores(
-                type_match, rf, rc, w8, off, c.type_matcher, scores,
-                pad_left, c.type_matcher.max_chunks,
-            )
+            if "type_wide" in tables and type_wide_meta is not None:
+                scores = wide_add_scores(
+                    type_match, tables["type_wide"], type_wide_meta[0],
+                    scores, pad_left,
+                )
+            else:
+                scores = shift_add_scores(
+                    type_match, rf, rc, w8, off, c.type_matcher, scores,
+                    pad_left, c.type_matcher.max_chunks,
+                )
         if not want_states:
             return scores, None, None
         return scores, char_match, type_match
+
+    return core
+
+
+def _project_char_syms(c, cps, tables):
+    """Codepoint -> dense char symbol projection (0 = OOV/padding)."""
+    import jax.numpy as jnp
+
+    from .ops.match import hash_project_fused
+
+    if "char_hash2" in tables:
+        return hash_project_fused(
+            cps, c.char_hash_mul, c.char_hash_shift, tables["char_hash2"]
+        )
+    if "char_sym_bmp" in tables:
+        bmp = cps < 0x10000
+        safe = jnp.where(bmp, cps, 0)
+        return jnp.where(
+            bmp, tables["char_sym_bmp"][safe].astype(jnp.int32), 0
+        )
+    return tables["char_sym"][cps]
+
+
+def _make_traced_fn(c):
+    core = _make_score_core(c)
+
+    def fn(cps, cts, lengths, tables):
+        syms = (
+            _project_char_syms(c, cps, tables) if "char" in tables else None
+        )
+        return core(syms, cts, lengths, tables)
 
     return fn
