@@ -80,6 +80,12 @@ class DeviceTagTables:
     w_rows: np.ndarray  # (n_rows, C) int32; row 0 = all-zero (miss)
     char_tabs: List[_HashTable]  # one per rel position (may be empty)
     type_tabs: List[_HashTable]
+    # hash projection of the token-surface alphabet: one small (P, 2)
+    # (key, symbol) gather replaces the 64 Ki rev_sym_bmp gather on
+    # device (cheap-tier fusion; see ops/match.hash_project_fused)
+    rev_hash_mul: int = 0
+    rev_hash_shift: int = 0
+    rev_hash_tab2: Optional[np.ndarray] = None  # (P, 2) int32
 
 
 def _hash_slots(tids: np.ndarray, states: np.ndarray, shift: int) -> np.ndarray:
@@ -289,7 +295,16 @@ def build_device_tag_tables(compiled) -> Optional[DeviceTagTables]:
     hit = value >= 0
     value[hit] = np.asarray(tids_in_trie, dtype=np.int32)[value[hit]]
 
+    from .compiler import _build_char_hash
+
+    cps_sorted = np.array(sorted(sym_of), dtype=np.int64)
+    ids = np.array([sym_of[cp] for cp in sorted(sym_of)], dtype=np.int32)
+    h_mul, h_shift, h_keys, h_syms = _build_char_hash(cps_sorted, ids)
+
     return DeviceTagTables(
+        rev_hash_mul=h_mul,
+        rev_hash_shift=h_shift,
+        rev_hash_tab2=np.stack([h_keys, h_syms], axis=1).astype(np.int32),
         rev_sym_bmp=rev_sym_bmp,
         rev_base=trie.base,
         rev_check=trie.check,

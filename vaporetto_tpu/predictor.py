@@ -504,13 +504,23 @@ class Predictor:
         dt = self.device_tag_tables()
         if dt is None:
             raise RuntimeError("model has no device-packable tag tables")
+        from .ops.match import build_walk_tab, hash_project_fused
+
         tables = self._serve_tables(wsconst_types)
-        tables["tag_rev"] = (
-            jnp.asarray(dt.rev_sym_bmp),
-            jnp.asarray(dt.rev_base),
-            jnp.asarray(dt.rev_check),
-            jnp.asarray(dt.rev_value),
+        # fused reversed-trie tables: (check, base, value) rows + dead
+        # slot (one gather per walk step; see match_longest_fused) and
+        # the (P, 2) hash projection of the token-surface alphabet
+        rev_tab, rev_dead, rev_root_base = build_walk_tab(
+            dt.rev_base, dt.rev_check, dt.rev_value
         )
+        if dt.rev_hash_tab2 is not None:
+            tables["tag_rev"] = (jnp.asarray(dt.rev_hash_tab2),
+                                 jnp.asarray(rev_tab))
+            rev_hash = (dt.rev_hash_mul, dt.rev_hash_shift)
+        else:  # older table build: dense 64 Ki projection
+            tables["tag_rev"] = (jnp.asarray(dt.rev_sym_bmp),
+                                 jnp.asarray(rev_tab))
+            rev_hash = None
         tables["tag_bias"] = jnp.asarray(dt.bias)
         tables["tag_slot"] = (
             jnp.asarray(dt.slot_off), jnp.asarray(dt.slot_cnt)
@@ -518,9 +528,12 @@ class Predictor:
         tables["tag_w"] = jnp.asarray(dt.w_rows)
         for key, tabs in (("tag_char", dt.char_tabs),
                           ("tag_type", dt.type_tabs)):
+            # one (P, 3) row gather per probe instead of three
             tables[key] = tuple(
-                (jnp.asarray(t.ver_tid), jnp.asarray(t.ver_state),
-                 jnp.asarray(t.row))
+                jnp.asarray(
+                    np.stack([t.ver_tid, t.ver_state, t.row], axis=1)
+                    .astype(np.int32)
+                )
                 for t in tabs
             )
 
@@ -557,42 +570,51 @@ class Predictor:
                 gaps, ((0, 0), (0, 1)), constant_values=False
             ) | (iota == lengths[:, None] - 1)
 
-            # ---- token id: reversed-surface trie walk -----------------
-            sym_tab, base, check, value = tables["tag_rev"]
-            bmp = cps < 0x10000
-            syms = jnp.where(
-                bmp,
-                sym_tab[jnp.where(bmp, cps, 0)].astype(jnp.int32),
-                0,
-            )
-            n_trie = base.shape[0]
+            # ---- token id: reversed-surface trie walk (fused: one
+            # gather per step, see match_longest_fused) ----------------
+            proj_tab, rev_tab = tables["tag_rev"]
+            if rev_hash is not None:
+                syms = hash_project_fused(
+                    cps, rev_hash[0], rev_hash[1], proj_tab
+                )
+            else:
+                bmp = cps < 0x10000
+                syms = jnp.where(
+                    bmp,
+                    proj_tab[jnp.where(bmp, cps, 0)].astype(jnp.int32),
+                    0,
+                )
             node = jnp.zeros((B, L), dtype=jnp.int32)
+            node_base = jnp.full((B, L), rev_root_base, dtype=jnp.int32)
             tid = jnp.full((B, L), -1, dtype=jnp.int32)
+            dead_c = jnp.int32(rev_dead)
 
-            def walk_step(node, tid, shifted, k):
-                alive = node >= 0
-                safe = jnp.where(alive, node, 0)
-                cand = jnp.clip(base[safe] + shifted, 0, n_trie - 1)
-                ok = alive & (shifted > 0) & (check[cand] == safe)
-                node = jnp.where(ok, cand, -1)
+            def walk_step(node, node_base, tid, shifted, k):
+                cand = node_base + shifted
+                trip = rev_tab[cand]  # (B, L, 3): check, base, value
+                ok = trip[..., 0] == node
+                node = jnp.where(ok, cand, dead_c)
+                node_base = jnp.where(ok, trip[..., 1], 0)
                 tid = jnp.where(
-                    ok & (span_len == k), value[cand], tid
+                    ok & (span_len == k), trip[..., 2], tid
                 )
                 shifted = jnp.pad(
                     shifted[:, :-1], ((0, 0), (1, 0))
                 )
-                return node, tid, shifted
+                return node, node_base, tid, shifted
 
             if max_tok_len <= 63:
                 shifted = syms
                 for k in range(1, max_tok_len + 1):
-                    node, tid, shifted = walk_step(node, tid, shifted, k)
+                    node, node_base, tid, shifted = walk_step(
+                        node, node_base, tid, shifted, k
+                    )
             else:
                 def body(carry, k):
                     return walk_step(*carry, k), None
 
-                (node, tid, _), _ = lax.scan(
-                    body, (node, tid, syms),
+                (node, node_base, tid, _), _ = lax.scan(
+                    body, (node, node_base, tid, syms),
                     jnp.arange(1, max_tok_len + 1, dtype=jnp.int32),
                 )
             tid = jnp.where(is_end, tid, -1)
@@ -606,8 +628,8 @@ class Predictor:
                 if match is None or not meta:
                     return sc
                 for j, (shift, probe) in enumerate(meta):
-                    vt, vs, rw = tables[key][j]
-                    size = vt.shape[0]
+                    tab3 = tables[key][j]  # (P, 3): tid, state, row
+                    size = tab3.shape[0]
                     if j == 0:
                         st = match
                     else:
@@ -621,8 +643,12 @@ class Predictor:
                     found = jnp.zeros(st.shape, dtype=bool)
                     for p in range(probe):
                         s = (slot0 + p) & (size - 1)
-                        hit = (~found) & (vt[s] == tid) & (vs[s] == st)
-                        row = jnp.where(hit, rw[s], row)
+                        g = tab3[s]  # one row gather per probe
+                        hit = (
+                            (~found) & (g[..., 0] == tid)
+                            & (g[..., 1] == st)
+                        )
+                        row = jnp.where(hit, g[..., 2], row)
                         found = found | hit
                     sc = sc + wrows[row]
                 return sc
