@@ -281,7 +281,10 @@ def _measure() -> int:
             cps_b = cps_b + carry_b[:, :1].astype(cps_b.dtype)
             return serve_fn(cps_b, lengths, tables)
 
-        init = jnp.zeros((cps.shape[0], cps.shape[1] - 1), dtype=jnp.int8)
+        init = jnp.zeros(
+            (cps.shape[0], (cps.shape[1] - 1 + 7) // 8),
+            dtype=jnp.uint8,
+        )
         return lax.fori_loop(0, n, body, init)
 
     # trip counts for the timing loops. The block-based check uses large
@@ -369,7 +372,8 @@ def _measure() -> int:
     # awareness (measured ~1000x the physical traffic here).
     S = pred.compiled.pad_left + (L - 1) + pred.compiled.pad_right
     full_bytes_per_char = 4.0 + 4.0 + 4.0 * S / L  # cps+cts in, scores out
-    serve_bytes_per_char = 2.0 + float(L - 1) / L  # uint16 in, int8 out
+    # uint16 in, bit-packed gaps out (8 gaps/byte)
+    serve_bytes_per_char = 2.0 + float((L - 1 + 7) // 8) / L
     kind = jax.devices()[0].device_kind
     peak = None
     for k, p in PEAK_HBM_GB_S.items():
@@ -564,7 +568,10 @@ def _measure() -> int:
         sout = serve(jax.device_put(cps16[:B]), len_d)
         print("phase: first readback (minutes on this tunnel)",
               file=sys.stderr, flush=True)
-        from vaporetto_tpu.native import detok_native, tensorize16_native
+        from vaporetto_tpu.native import (
+            detok_bits_native,
+            tensorize16_native,
+        )
 
         # The first readback either completes or wedges FOREVER
         # (observed: whole runs of 3 attempts wedging). Each readback
@@ -604,7 +611,7 @@ def _measure() -> int:
         diagnostics["bulk_readback_s"] = round(
             time.perf_counter() - t0, 1
         )
-        assert first.shape == (B, L - 1)
+        assert first.shape == (B, (L - 1 + 7) // 8)
 
         # ---- readback-grounded serialized loops ----------------------
         # the only timing on this tunnel whose completion signal is
@@ -699,8 +706,10 @@ def _measure() -> int:
         t0 = time.perf_counter()
         for _ in range(reps):
             bcps, blens = tensorize16_native(blob, starts, ends, 256)
-            bnd_h = np.asarray(serve(bcps, blens))
-            data = detok_native(blob, starts, ends, bnd_h)
+            bnd_h = np.asarray(serve(bcps, blens))  # bit-packed gaps
+            data = detok_bits_native(
+                blob, starts, ends, bnd_h, bnd_h.shape[1] * 8
+            )
             assert data
         e2e_dt = time.perf_counter() - t0
         extra["e2e_steady_mchars_per_s"] = round(
@@ -756,7 +765,7 @@ def _measure() -> int:
         try:
             from vaporetto_tpu.native import (
                 TagEmitPlan,
-                detok_native,
+                detok_bits_native,
                 detok_tags_native,
                 tensorize16_native,
             )
@@ -815,8 +824,10 @@ def _measure() -> int:
             t0 = time.perf_counter()
             for _ in range(reps):
                 bcps, blens = tensorize16_native(blob2, st2, en2, Lt)
-                bnd_b = np.asarray(serve(bcps, blens))
-                data = detok_native(blob2, st2, en2, bnd_b)
+                bnd_b = np.asarray(serve(bcps, blens))  # bit-packed
+                data = detok_bits_native(
+                    blob2, st2, en2, bnd_b, bnd_b.shape[1] * 8
+                )
                 assert data
             dtb = time.perf_counter() - t0
             extra["e2e_boundary_same_corpus_mchars_per_s"] = round(

@@ -95,7 +95,10 @@ def main() -> int:
             cps_b = cps_b + carry_b[:, :1].astype(cps_b.dtype)
             return serve_fn(cps_b, lengths, tables)
 
-        init = jnp.zeros((cps.shape[0], cps.shape[1] - 1), dtype=jnp.int8)
+        init = jnp.zeros(
+            (cps.shape[0], (cps.shape[1] - 1 + 7) // 8),
+            dtype=jnp.uint8,
+        )
         return lax.fori_loop(0, n, body, init)
 
     cps_d = jax.device_put(cps16)

@@ -662,3 +662,76 @@ def test_arith_char_type_classification_parity():
     cps = jnp.asarray(np.arange(65536, dtype=np.int32)[None, :])
     got = np.asarray(jax.jit(classify_types_bmp_arith)(cps))[0]
     assert (got == _CHAR_TYPE_TABLE_SMALL.astype(np.int32)).all()
+
+
+class TestShortLinePacking:
+    """The packed short-line layout (serving.PACK_L rows, separator
+    gaps) must be byte-identical to the unpacked lean/general paths."""
+
+    def test_packing_activates(self, bundled_pred):
+        from vaporetto_tpu.serving import LeanServer
+
+        server = LeanServer(bundled_pred, batch_lines=4)
+        assert server.pack and server._sep >= 1
+
+    def test_packed_corpus_matches_general(self, bundled_pred):
+        rng = np.random.default_rng(5)
+        pool = "まぁ社長は火星猫だ良いだろうアABC123"
+        lines = [
+            "".join(
+                pool[i] for i in rng.integers(0, len(pool),
+                                              rng.integers(0, 20))
+            )
+            for _ in range(300)
+        ]
+        want = general_path(bundled_pred, lines)
+        got = lean_path(bundled_pred, lines, batch_lines=64)
+        assert got == want
+
+    def test_mixed_lengths_cross_pack_threshold(self, bundled_pred):
+        from vaporetto_tpu.serving import PACK_MAX_LINE
+
+        long_line = "火星猫だ" * (PACK_MAX_LINE // 2)  # > PACK_MAX_LINE
+        lines = ["まぁ社長", long_line, "猫だ", "", "ア"]
+        want = general_path(bundled_pred, lines)
+        got = lean_path(bundled_pred, lines, batch_lines=8)
+        assert got == want
+
+    def test_packed_wsconst(self, bundled_pred):
+        ws = (int(CharacterType.KANJI),)
+        lines = ["火星猫だ", "猫猫猫", "だ火星"] * 20
+        want = general_path(bundled_pred, lines, wsconst=ws)
+        got = lean_path(bundled_pred, lines, wsconst=ws, batch_lines=32)
+        assert got == want
+
+    def test_nul_line_matches_general(self, bundled_pred):
+        # the reference's from_raw rejects NUL ("contains NULL"); the
+        # general path emits a blank line. The lean tensorizers must
+        # reject NUL (it would alias the packed separator) and route the
+        # batch to the fallback, matching byte-for-byte.
+        lines = ["まぁ社長", "猫\x00だ", "良いだろう"]
+        want = general_path(bundled_pred, lines)
+        got = lean_path(bundled_pred, lines, batch_lines=4)
+        assert got == want
+
+    def test_packed_separator_isolation_golden(self):
+        """Neighbor lines must not leak scores/context across the
+        separator: compare per-line predictions against the same lines
+        surrounded by unrelated neighbors, on the golden model (whose
+        exact integer scores are pinned in test_scorers)."""
+        pred = Predictor(create_test_model())
+        rng = np.random.default_rng(11)
+        pool = "我ら全世界猫だ人民"
+        base = [
+            "".join(pool[i] for i in rng.integers(0, len(pool),
+                                                  rng.integers(1, 9)))
+            for _ in range(100)
+        ]
+        solo = lean_path(pred, base, batch_lines=128)
+        shuffled = list(base)
+        rng.shuffle(shuffled)
+        interleaved = [x for pair in zip(shuffled, base) for x in pair]
+        packed = lean_path(pred, interleaved, batch_lines=256)
+        packed_lines = packed.decode("utf-8").splitlines()
+        solo_lines = solo.decode("utf-8").splitlines()
+        assert packed_lines[1::2] == solo_lines

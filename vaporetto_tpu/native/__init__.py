@@ -114,6 +114,21 @@ def _load() -> Optional[ctypes.CDLL]:
         ctypes.POINTER(ctypes.c_int32),
         ctypes.c_int32,  # n_threads (<= 0 = auto)
     ]
+    if hasattr(lib, "vt_tensorize16_packed"):
+        lib.vt_tensorize16_packed.restype = ctypes.c_int
+        lib.vt_tensorize16_packed.argtypes = [
+            ctypes.POINTER(ctypes.c_uint8),
+            ctypes.POINTER(ctypes.c_int64),
+            ctypes.POINTER(ctypes.c_int64),
+            ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_int32),  # rows_of
+            ctypes.POINTER(ctypes.c_int32),  # cols_of
+            ctypes.c_int64,                  # B
+            ctypes.c_int32,                  # L
+            ctypes.POINTER(ctypes.c_uint16),
+            ctypes.POINTER(ctypes.c_uint16),
+            ctypes.c_int32,                  # n_threads
+        ]
     lib.vt_detok.restype = ctypes.c_int64
     lib.vt_detok.argtypes = [
         ctypes.POINTER(ctypes.c_uint8),
@@ -126,6 +141,22 @@ def _load() -> Optional[ctypes.CDLL]:
         ctypes.c_int64,
         ctypes.c_int32,
     ]
+    if hasattr(lib, "vt_detok_bits"):
+        lib.vt_detok_bits.restype = ctypes.c_int64
+        lib.vt_detok_bits.argtypes = [
+            ctypes.POINTER(ctypes.c_uint8),
+            ctypes.POINTER(ctypes.c_int64),
+            ctypes.POINTER(ctypes.c_int64),
+            ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_uint8),  # bits
+            ctypes.c_int32,                  # bytes_per_row
+            ctypes.POINTER(ctypes.c_int32),  # rows_of (nullable)
+            ctypes.POINTER(ctypes.c_int32),  # cols_of (nullable)
+            ctypes.c_int64,                  # max_gaps
+            ctypes.POINTER(ctypes.c_uint8),  # out
+            ctypes.c_int64,                  # out_cap
+            ctypes.c_int32,                  # n_threads
+        ]
     if hasattr(lib, "vt_host_serve_padded"):
         lib.vt_host_serve_padded.restype = ctypes.c_int
         lib.vt_host_serve_padded.argtypes = [
@@ -1153,6 +1184,52 @@ def tensorize16_native(
     return cps, lengths
 
 
+def tensorize16_packed_native(
+    blob: np.ndarray,
+    starts: np.ndarray,
+    ends: np.ndarray,
+    rows_of: np.ndarray,  # int32 (n_lines,) destination row per line
+    cols_of: np.ndarray,  # int32 (n_lines,) destination column per line
+    B: int,
+    L: int,
+    norm_map: Optional[np.ndarray] = None,
+    n_threads: int = 0,
+) -> Optional[np.ndarray]:
+    """Packed lean tensorizer: decodes line i at (rows_of[i], cols_of[i])
+    of a zeroed (B, L) uint16 batch — the short-line packing layout.
+    Returns cps or None when the batch needs another path (astral/NUL/
+    invalid UTF-8/overflow, or no native support)."""
+    lib = _load()
+    if lib is None or not hasattr(lib, "vt_tensorize16_packed"):
+        return None
+    n = len(starts)
+    starts = np.ascontiguousarray(starts, dtype=np.int64)
+    ends = np.ascontiguousarray(ends, dtype=np.int64)
+    rows_of = np.ascontiguousarray(rows_of, dtype=np.int32)
+    cols_of = np.ascontiguousarray(cols_of, dtype=np.int32)
+    cps = np.empty((B, L), dtype=np.uint16)
+    U16P = ctypes.POINTER(ctypes.c_uint16)
+    I64P = ctypes.POINTER(ctypes.c_int64)
+    I32P = ctypes.POINTER(ctypes.c_int32)
+    buf = blob if blob.size else np.zeros(1, dtype=np.uint8)
+    rc = lib.vt_tensorize16_packed(
+        buf.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        starts.ctypes.data_as(I64P),
+        ends.ctypes.data_as(I64P),
+        n,
+        rows_of.ctypes.data_as(I32P),
+        cols_of.ctypes.data_as(I32P),
+        B,
+        L,
+        norm_map.ctypes.data_as(U16P) if norm_map is not None else None,
+        cps.ctypes.data_as(U16P),
+        n_threads,
+    )
+    if rc != 0:
+        return None
+    return cps
+
+
 class TagEmitPlan:
     """Host emission plan for the lean device tag path.
 
@@ -1401,6 +1478,65 @@ def detok_native(
         n,
         boundaries.ctypes.data_as(ctypes.POINTER(ctypes.c_int8)),
         Lm1,
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        cap,
+        n_threads,
+    )
+    if written < 0:
+        return None
+    if scratch is not None:
+        return memoryview(out)[:written]
+    return out[:written].tobytes()
+
+
+def detok_bits_native(
+    blob: np.ndarray,  # uint8 ORIGINAL UTF-8 bytes
+    starts: np.ndarray,  # int64 (n_lines,)
+    ends: np.ndarray,  # int64 (n_lines,)
+    bits: np.ndarray,  # uint8 (B, bytes_per_row) little-endian gap bits
+    max_gaps: int,  # gaps per line upper bound (line chars - 1)
+    rows_of: Optional[np.ndarray] = None,  # int32 per-line packed row
+    cols_of: Optional[np.ndarray] = None,  # int32 per-line packed column
+    n_threads: int = 0,
+    scratch: Optional[dict] = None,
+):
+    """Bit-packed tokenized-text writer (see native vt_detok_bits):
+    consumes the device's 8-gaps-per-byte boundary readback directly,
+    with optional per-line (row, col) placement for the short-line
+    packing layout. Returns bytes/memoryview like :func:`detok_native`,
+    or None when unavailable."""
+    lib = _load()
+    if lib is None or not hasattr(lib, "vt_detok_bits"):
+        return None
+    n = len(starts)
+    starts = np.ascontiguousarray(starts, dtype=np.int64)
+    ends = np.ascontiguousarray(ends, dtype=np.int64)
+    bits = np.ascontiguousarray(bits, dtype=np.uint8)
+    total = int((ends - starts).sum())
+    cap = 2 * total + n * (max_gaps + 1) + 1
+    if scratch is not None:
+        out = scratch.get("detok")
+        if out is None or out.size < cap:
+            out = np.empty(int(cap * 5 // 4) + 16, dtype=np.uint8)
+            scratch["detok"] = out
+    else:
+        out = np.empty(cap, dtype=np.uint8)
+    buf = blob if blob.size else np.zeros(1, dtype=np.uint8)
+    I64P = ctypes.POINTER(ctypes.c_int64)
+    I32P = ctypes.POINTER(ctypes.c_int32)
+    if rows_of is not None:
+        rows_of = np.ascontiguousarray(rows_of, dtype=np.int32)
+        cols_of = np.ascontiguousarray(cols_of, dtype=np.int32)
+    written = lib.vt_detok_bits(
+        buf.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        starts.ctypes.data_as(I64P),
+        ends.ctypes.data_as(I64P),
+        n,
+        bits.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        bits.shape[1] if bits.ndim == 2 else 0,
+        rows_of.ctypes.data_as(I32P) if rows_of is not None else None,
+        cols_of.ctypes.data_as(I32P) if cols_of is not None else None,
+        max_gaps,
         out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
         cap,
         n_threads,

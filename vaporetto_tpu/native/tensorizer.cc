@@ -126,6 +126,7 @@ int tensorize16_rows(const uint8_t* utf8, const int64_t* starts,
       } else {
         return 1;
       }
+      if (c == 0) return 4;  // NUL: general path must reject the line
       if (n >= L) return 3;
       cp_row[n++] =
           map_bmp ? map_bmp[c] : static_cast<uint16_t>(c);
@@ -136,7 +137,72 @@ int tensorize16_rows(const uint8_t* utf8, const int64_t* starts,
   return 0;
 }
 
+// Packed variant: line i is decoded at (rows[i], cols[i]) of a
+// PRE-ZEROED (B, L) batch — the short-line packing layout (many lines
+// per device row, separator gaps of codepoint 0 between them). The
+// caller guarantees cols[i] + chars(i) <= L; exceeding it returns 3.
+int tensorize16_packed_rows(const uint8_t* utf8, const int64_t* starts,
+                            const int64_t* ends, const int32_t* rows_of,
+                            const int32_t* cols_of, int64_t line_lo,
+                            int64_t line_hi, int32_t L,
+                            const uint16_t* map_bmp, uint16_t* cps) {
+  for (int64_t i = line_lo; i < line_hi; ++i) {
+    const uint8_t* p = utf8 + starts[i];
+    const uint8_t* end = utf8 + ends[i];
+    uint16_t* dst = cps + static_cast<int64_t>(rows_of[i]) * L + cols_of[i];
+    int32_t room = L - cols_of[i];
+    int32_t n = 0;
+    while (p < end) {
+      uint32_t c;
+      uint8_t b0 = *p;
+      if (b0 < 0x80) {
+        c = b0;
+        p += 1;
+      } else if ((b0 >> 5) == 0x6) {
+        if (end - p < 2 || b0 < 0xC2 || (p[1] & 0xC0) != 0x80) return 1;
+        c = ((b0 & 0x1F) << 6) | (p[1] & 0x3F);
+        p += 2;
+      } else if ((b0 >> 4) == 0xE) {
+        if (end - p < 3 || (p[1] & 0xC0) != 0x80 || (p[2] & 0xC0) != 0x80)
+          return 1;
+        if ((b0 == 0xE0 && p[1] < 0xA0) || (b0 == 0xED && p[1] >= 0xA0))
+          return 1;
+        c = ((b0 & 0x0F) << 12) | ((p[1] & 0x3F) << 6) | (p[2] & 0x3F);
+        p += 3;
+      } else if ((b0 >> 3) == 0x1E) {
+        return 2;  // astral plane
+      } else {
+        return 1;
+      }
+      if (c == 0) return 4;  // NUL would alias the separator
+      if (n >= room) return 3;
+      dst[n++] = map_bmp ? map_bmp[c] : static_cast<uint16_t>(c);
+    }
+  }
+  return 0;
+}
+
 }  // namespace
+
+int vt_tensorize16_packed(const uint8_t* utf8, const int64_t* starts,
+                          const int64_t* ends, int64_t n_lines,
+                          const int32_t* rows_of, const int32_t* cols_of,
+                          int64_t B, int32_t L, const uint16_t* map_bmp,
+                          uint16_t* cps, int32_t n_threads) {
+  std::memset(cps, 0, sizeof(uint16_t) * B * L);
+  std::atomic<int> rc{0};
+  vt::parallel_rows(n_lines, n_threads, 1024,
+                    [&](int64_t lo, int64_t hi) {
+                      int r = tensorize16_packed_rows(
+                          utf8, starts, ends, rows_of, cols_of, lo, hi, L,
+                          map_bmp, cps);
+                      if (r != 0) {
+                        int expected = 0;
+                        rc.compare_exchange_strong(expected, r);
+                      }
+                    });
+  return rc.load();
+}
 
 // n_threads <= 0 picks hardware concurrency (vt::parallel_rows), giving
 // callers (e.g. a CLI already running its own worker threads) control
@@ -220,6 +286,61 @@ int64_t vt_detok(const uint8_t* utf8, const int64_t* starts,
       }
       *o++ = '\n';
       out_len[row] = o - o0;
+    }
+  };
+  vt::parallel_rows(n_lines, n_threads, 256, work);
+  int64_t w = 0;
+  for (int64_t row = 0; row < n_lines; ++row) {
+    if (w != out_start[row])
+      std::memmove(out + w, out + out_start[row], out_len[row]);
+    w += out_len[row];
+  }
+  return w;
+}
+
+// Bit-packed detokenizer: boundaries arrive as little-endian bit rows
+// (8 gaps per byte — the device packs them so the dominant readback
+// shrinks 8x), and each line's gaps may start at an arbitrary (row,
+// col) of the packed batch — the short-line packing layout. rows/cols
+// NULL means line i's gaps start at (i, 0) (the unpacked lean path).
+int64_t vt_detok_bits(const uint8_t* utf8, const int64_t* starts,
+                      const int64_t* ends, int64_t n_lines,
+                      const uint8_t* bits, int32_t bytes_per_row,
+                      const int32_t* rows_of, const int32_t* cols_of,
+                      int64_t max_gaps, uint8_t* out, int64_t out_cap,
+                      int32_t n_threads) {
+  std::vector<int64_t> out_len(n_lines, 0);
+  std::vector<int64_t> out_start(n_lines + 1, 0);
+  for (int64_t row = 0; row < n_lines; ++row) {
+    int64_t nbytes = ends[row] - starts[row];
+    out_start[row + 1] = out_start[row] + 2 * nbytes + max_gaps + 1;
+  }
+  if (out_start[n_lines] > out_cap) return -1;
+  auto work = [&](int64_t lo, int64_t hi) {
+    for (int64_t line = lo; line < hi; ++line) {
+      const uint8_t* p = utf8 + starts[line];
+      const uint8_t* end = utf8 + ends[line];
+      int64_t row = rows_of ? rows_of[line] : line;
+      int64_t base = cols_of ? cols_of[line] : 0;
+      const uint8_t* brow = bits + row * bytes_per_row;
+      uint8_t* o = out + out_start[line];
+      uint8_t* o0 = o;
+      int32_t ci = 0;
+      while (p < end) {
+        uint8_t byte = *p;
+        if ((byte & 0xC0) != 0x80) {  // char start
+          if (ci > 0 && ci <= max_gaps) {
+            int64_t pos = base + ci - 1;
+            if ((brow[pos >> 3] >> (pos & 7)) & 1) *o++ = ' ';
+          }
+          ++ci;
+          if (byte == ' ' || byte == '/' || byte == '\\') *o++ = '\\';
+        }
+        *o++ = byte;
+        ++p;
+      }
+      *o++ = '\n';
+      out_len[line] = o - o0;
     }
   };
   vt::parallel_rows(n_lines, n_threads, 256, work);

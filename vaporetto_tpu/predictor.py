@@ -244,6 +244,12 @@ class Predictor:
                 cts = classify_types_bmp_arith(cps32)
             else:
                 cps32, cts = _classify_types(cps, tables, kanji, other)
+            # codepoint 0 = padding / packed-line separator: its type
+            # symbol must read as 0 ("no char", the reference's
+            # out-of-sentence behavior), never OTHER. Real NUL input
+            # never reaches the lean kernels (the tensorizer rejects it,
+            # matching the general path's from_raw error).
+            cts = jnp.where(cps32 == 0, 0, cts)
             syms = (
                 _project_char_syms(c, cps32, tables) if has_char else None
             )
@@ -264,18 +270,23 @@ class Predictor:
 
     def serve_traced_fn(self, wsconst_types: Tuple[int, ...] = ()):
         """The unjitted serving function and its table pytree:
-        ``fn(cps, lengths, tables) -> int8 (B, L-1)`` (see
-        :meth:`serve_boundaries_fn`). Tables are passed as arguments so
-        callers control jit/sharding/loop composition (the benchmark
-        harness scans this inside one program)."""
-        import jax.numpy as jnp
+        ``fn(cps, lengths, tables) -> uint8 (B, ceil((L-1)/8))`` — the
+        per-gap boundary mask BIT-PACKED little-endian, 8 gaps per byte
+        (see :meth:`serve_boundaries_fn`). The device->host boundary
+        readback dominates lean-serving wall time on slow links, and
+        packing shrinks it 8x; the native detokenizer consumes the bits
+        directly (vt_detok_bits). ``np.unpackbits(out, axis=1,
+        bitorder='little')[:, :L-1]`` recovers the byte mask.
 
+        Tables are passed as arguments so callers control
+        jit/sharding/loop composition (the benchmark harness scans this
+        inside one program)."""
         serve = self._make_serve_core(wsconst_types)
         tables = self._serve_tables(wsconst_types)
 
         def fn(cps, lengths, tables):
             gaps, _, _, _, _, _ = serve(cps, lengths, tables)
-            return gaps.astype(jnp.int8)
+            return _pack_gap_bits(gaps)
 
         return fn, tables
 
@@ -1032,6 +1043,25 @@ class Predictor:
 
         compiled, predict_tags = deserialize_compiled(data)
         return cls(None, predict_tags, compiled=compiled)
+
+
+def _pack_gap_bits(gaps):
+    """bool (B, G) -> uint8 (B, ceil(G/8)), little-endian bit order
+    (np.unpackbits(bitorder='little') inverse). A handful of elementwise
+    shifts/ors — free next to the 8x readback saving."""
+    import jax.numpy as jnp
+
+    B, G = gaps.shape
+    Gp = -(-G // 8) * 8
+    g = (
+        jnp.pad(gaps, ((0, 0), (0, Gp - G)))
+        .reshape(B, Gp // 8, 8)
+        .astype(jnp.uint8)
+    )
+    b = g[..., 0]
+    for j in range(1, 8):
+        b = b | (g[..., j] << j)
+    return b
 
 
 def _classify_types(cps, tables, kanji: int, other: int):

@@ -90,6 +90,43 @@ def lean_tags_supported(predictor) -> bool:
     return predictor.device_tag_tables() is not None
 
 
+#: rows of this width hold the packed short-line layout
+PACK_L = 512
+#: lines at most this long are packed many-per-row
+PACK_MAX_LINE = 64
+#: packed super-groups target this many filled rows per dispatch (~2M
+#: chars — the same per-dispatch volume as the unpacked (8192, 256)
+#: long-line batches, so short lines stop paying the per-dispatch
+#: round-trip floor thousands of times more often than long ones)
+PACK_TARGET_ROWS = 4096
+
+
+def pack_separator(compiled) -> int:
+    """Separator width (codepoint-0 chars) between packed lines.
+
+    Must cover (a) score spill: the rightmost gap any match's weights
+    can reach past its end position — computed exactly from the packed
+    weight rows (off + last nonzero lane), and (b) type-window context
+    isolation: a gap's window sees ``type_window_size - 1`` chars beyond
+    the line end, which must all read as symbol 0 exactly like the
+    reference's out-of-sentence positions
+    (type_scorer/boundary_scorer_cache.rs increment_seqid_without_char).
+    Char patterns can never span a separator (codepoint 0 projects to
+    the OOV symbol), so within-line matches are unaffected.
+    """
+    sep = max(1, compiled.type_window_size - 1)
+    for m in (compiled.char_matcher, compiled.type_matcher):
+        if m is None or not len(m.w8):
+            continue
+        nz = m.w8 != 0
+        has = nz.any(axis=1)
+        last = np.where(has, 7 - nz[:, ::-1].argmax(axis=1), -(10**6))
+        n = min(len(m.off), len(last))
+        if n:
+            sep = max(sep, int((m.off[:n] + last[:n]).max(initial=0)))
+    return sep
+
+
 _UNSAFE_TABLE: Optional[np.ndarray] = None
 
 
@@ -205,13 +242,28 @@ class LeanServer:
         self.fallback = fallback
         self.n_lines = 0
         self.n_chars = 0
+        # short-line packing: many lines per (B, PACK_L) device row with
+        # codepoint-0 separator gaps, so ~10-char lines stop paying a
+        # full padded row + per-line dispatch share each (the reference's
+        # per-line loop has zero padding waste; this recovers that for
+        # batched device serving). Boundary-only, single-process device
+        # path for now: the tag kernel derives token spans from row
+        # lengths, scores need per-line codepoint rows, and a sharded
+        # batch dimension must stay divisible by the mesh.
+        self.pack = (
+            not tags and not scores
+            and mesh is None
+            and not host_engine
+        )
+        self._sep = pack_separator(predictor.compiled) if self.pack else 0
+        #: the device boundary kernel returns bit-packed gaps (8/byte);
+        #: the host engine and the scores/tags kernels return bytes
+        self.bits = not tags and not scores and not host_engine
 
     # ------------------------------------------------------------------
 
-    def _dispatch(self, blob, starts, ends, n_valid):
-        """Tensorize + dispatch one group; returns the pending tuple or
-        None if the group needs the general path."""
-        from .native import available, count_chars_native, tensorize16_native
+    def _count_chars(self, blob, starts, ends) -> Optional[np.ndarray]:
+        from .native import available, count_chars_native
 
         counts = count_chars_native(blob, starts, ends)
         if counts is None:
@@ -223,6 +275,16 @@ class LeanServer:
             np.cumsum((blob & 0xC0) != 0x80, dtype=np.int32,
                       out=csum[1:])
             counts = csum[ends] - csum[starts]
+        return counts
+
+    def _dispatch(self, blob, starts, ends, n_valid):
+        """Tensorize + dispatch one group; returns the pending tuple or
+        None if the group needs the general path."""
+        from .native import tensorize16_native
+
+        counts = self._count_chars(blob, starts, ends)
+        if counts is None:
+            return None
         max_chars = int(counts.max(initial=0))
         if max_chars > self.predictor.LONG_SENTENCE_THRESHOLD:
             # very long lines go through the general path's halo-overlap
@@ -238,7 +300,77 @@ class LeanServer:
         self.n_lines += n_valid
         self.n_chars += int(lengths[:n_valid].sum())
         host = (cps, lengths) if (self.scores or self.grapheme) else None
-        return res, blob, starts[:n_valid], ends[:n_valid], host
+        return res, blob, starts[:n_valid], ends[:n_valid], host, None
+
+    def _pack_groups(self, counts: np.ndarray):
+        """Split a chunk's lines into dispatch groups: contiguous runs
+        of short lines become PACKED super-groups sized by cumulative
+        character width (so every dispatch carries ~PACK_TARGET_ROWS
+        full rows regardless of line length), long lines fall into
+        classic ``batch_lines``-line groups. Yields (lo, hi, packed)."""
+        n = len(counts)
+        B = self.batch_lines
+        sep = self._sep
+        cap = PACK_L - PACK_MAX_LINE - sep
+        target = cap * PACK_TARGET_ROWS
+        is_long = counts > PACK_MAX_LINE
+        # run boundaries: positions where long/short flips
+        flips = np.flatnonzero(np.diff(is_long.astype(np.int8))) + 1
+        run_edges = np.concatenate(([0], flips, [n]))
+        width = counts.astype(np.int64) + sep
+        for r in range(len(run_edges) - 1):
+            a, b = int(run_edges[r]), int(run_edges[r + 1])
+            if is_long[a]:
+                for lo in range(a, b, B):
+                    yield lo, min(lo + B, b), False
+            else:
+                cum = np.cumsum(width[a:b])
+                lo = a
+                while lo < b:
+                    base = cum[lo - a - 1] if lo > a else 0
+                    hi = a + int(
+                        np.searchsorted(cum, base + target, side="left")
+                    ) + 1
+                    hi = min(max(hi, lo + 1), b, lo + (1 << 17))
+                    yield lo, hi, True
+                    lo = hi
+
+    def _dispatch_packed(self, blob, starts, ends, n_valid, counts,
+                         max_chars):
+        """Short-line packing dispatch: place lines into (B, PACK_L)
+        rows at cumulative offsets with ``self._sep`` separator chars,
+        run the boundary kernel on the packed rows, and let ``_realize``
+        unpack per-line gap slices. Returns the pending tuple or None to
+        fall through to the unpacked path."""
+        from .native import tensorize16_packed_native
+
+        sep = self._sep
+        # vectorized placement: conceptual stream position -> (row, col)
+        # with capacity cap per row; a line starting before the cap
+        # boundary may extend up to max_chars + sep beyond it, hence the
+        # headroom. Utilization ~= cap / PACK_L.
+        cap = PACK_L - max_chars - sep
+        if cap < max(2 * max_chars, 16):
+            return None  # lines too long to pack profitably
+        width = counts.astype(np.int64) + sep
+        s_pos = np.zeros(len(width), dtype=np.int64)
+        np.cumsum(width[:-1], out=s_pos[1:])
+        row = (s_pos // cap).astype(np.int32)
+        col = (s_pos - row.astype(np.int64) * cap).astype(np.int32)
+        n_rows = int(row[-1]) + 1 if len(row) else 1
+        B = max(64, 1 << (n_rows - 1).bit_length())
+        cps = tensorize16_packed_native(
+            blob, starts, ends, row, col, B, PACK_L, self.norm_map
+        )
+        if cps is None:
+            return None
+        lengths = np.full(B, PACK_L, dtype=np.int32)
+        res = self.fn(cps, lengths)
+        self.n_lines += n_valid
+        self.n_chars += int(counts[:n_valid].sum())
+        host = (cps, lengths) if self.grapheme else None
+        packed = (row[:n_valid], col[:n_valid], max_chars)
+        return res, blob, starts[:n_valid], ends[:n_valid], host, packed
 
     def _realize(self, pending, out) -> None:
         from .native import (
@@ -247,7 +379,7 @@ class LeanServer:
             detok_tags_native,
         )
 
-        res, blob, starts, ends, host = pending
+        res, blob, starts, ends, host, packed = pending
         n = len(starts)
         if self.scores:
             bnd_d, sc_d = res
@@ -272,12 +404,51 @@ class LeanServer:
                 self.plan,
             )
         else:
-            if self.grapheme:
-                bnd = np.array(res)  # writable copy for the host mask
-                self._apply_grapheme(bnd, host, n)
+            from .native import detok_bits_native
+
+            raw = np.asarray(res)  # the one device->host readback
+            if self.bits and not self.grapheme:
+                # fast lane: the native detokenizer reads the bit-packed
+                # gaps directly, with per-line (row, col) placement for
+                # packed batches
+                if packed is not None:
+                    row, col, max_chars = packed
+                    data = detok_bits_native(
+                        blob, starts, ends, raw,
+                        max(max_chars - 1, 0), row, col,
+                        scratch=self._scratch,
+                    )
+                else:
+                    data = detok_bits_native(
+                        blob, starts, ends, raw[:n], raw.shape[1] * 8,
+                        scratch=self._scratch,
+                    )
+                if data is not None:
+                    out.write(data)
+                    return
+                # stale native lib without vt_detok_bits: byte fallback
+            if self.bits:
+                bnd = np.unpackbits(raw, axis=1, bitorder="little")
+            elif self.grapheme:
+                bnd = np.array(raw)  # writable copy for the host mask
             else:
-                bnd = np.asarray(res)  # the one device->host readback
-            data = detok_native(blob, starts, ends, bnd[:n],
+                bnd = raw
+            if self.grapheme:
+                # packed rows: the mask operates in packed coordinates
+                # (codepoint 0 is a Control cluster-breaker, so clusters
+                # never span the separator gaps); unpack happens after
+                self._apply_grapheme(
+                    bnd, host, bnd.shape[0] if packed is not None else n
+                )
+            if packed is not None:
+                row, col, max_chars = packed
+                gcols = np.minimum(
+                    col[:, None].astype(np.int64)
+                    + np.arange(max(max_chars - 1, 1), dtype=np.int64),
+                    bnd.shape[1] - 1,
+                )
+                bnd = bnd[row[:, None], gcols]
+            data = detok_native(blob, starts, ends, bnd[:n].astype(np.int8),
                                 scratch=self._scratch)
         if data is None:  # native lib raced away; should not happen
             raise RuntimeError("native detokenizer unavailable")
@@ -362,24 +533,55 @@ class LeanServer:
             ends = ends - has_cr.astype(np.int64)
             B = self.batch_lines
             n = len(nl)
-            for g in range(0, n, B):
-                hi = min(g + B, n)
-                gs = starts[g:hi]
-                ge = ends[g:hi]
-                if hi - g < B:  # pad the tail group with empty lines
-                    pad = np.zeros(B - (hi - g), dtype=np.int64)
-                    gs = np.concatenate((gs, pad))
-                    ge = np.concatenate((ge, pad))
-                done = self._dispatch(blob, gs, ge, hi - g)
-                if done is None:
+            counts_all = (
+                self._count_chars(blob, starts, ends) if self.pack else None
+            )
+            if counts_all is not None:
+                groups = self._pack_groups(counts_all)
+            else:
+                groups = (
+                    (g, min(g + B, n), False) for g in range(0, n, B)
+                )
+            for lo, hi, packed in groups:
+                sub = [(lo, hi, packed)]
+                if packed:
+                    done = self._dispatch_packed(
+                        blob, starts[lo:hi], ends[lo:hi], hi - lo,
+                        counts_all[lo:hi],
+                        int(counts_all[lo:hi].max(initial=0)),
+                    )
+                    if done is None:
+                        # NUL/astral inside the super-group: retry it in
+                        # classic batch_lines-sized unpacked groups so
+                        # only the failing slice pays the general path
+                        sub = [
+                            (g, min(g + B, hi), False)
+                            for g in range(lo, hi, B)
+                        ]
+                    else:
+                        if pending is not None:
+                            self._realize(pending, out)
+                        pending = done
+                        continue
+                for g, ghi, _ in sub:
+                    gs = starts[g:ghi]
+                    ge = ends[g:ghi]
+                    if ghi - g < B:  # pad the tail group with empty lines
+                        pad = np.zeros(B - (ghi - g), dtype=np.int64)
+                        gs = np.concatenate((gs, pad))
+                        ge = np.concatenate((ge, pad))
+                    done = self._dispatch(blob, gs, ge, ghi - g)
+                    if done is None:
+                        if pending is not None:
+                            self._realize(pending, out)
+                            pending = None
+                        self._run_fallback(
+                            blob, starts[g:ghi], ends[g:ghi], out
+                        )
+                        continue
                     if pending is not None:
                         self._realize(pending, out)
-                        pending = None
-                    self._run_fallback(blob, starts[g:hi], ends[g:hi], out)
-                    continue
-                if pending is not None:
-                    self._realize(pending, out)
-                pending = done
+                    pending = done
         if pending is not None:
             self._realize(pending, out)
 
