@@ -187,6 +187,36 @@ class TestCLI:
                 runs[mode] = out.stdout
             assert runs["lean"] == runs["general"], extra
 
+    def test_predict_cli_lean_rich_combos_match_general(self):
+        """The rich flag combinations — --scores --predict-tags,
+        --tag-scores, and all three together (reference predict
+        main.rs:65-91) — must be byte-identical between the lean device
+        path and the general path."""
+        corpus = (
+            "まぁ社長は火星猫だ\nまぁ良いだろう\n\n"
+            "a b/c\\d\nABC123オレンジ\nア\n火星猫だ火星猫だ\n"
+        )
+        env = {"PATH": "/usr/bin:/bin", "JAX_PLATFORMS": "cpu",
+               "PYTHONPATH": "/root/repo", "HOME": "/root"}
+        for extra in (
+            ["--predict-tags", "--scores"],
+            ["--predict-tags", "--tag-scores"],
+            ["--predict-tags", "--scores", "--tag-scores"],
+            ["--predict-tags", "--tag-scores", "--wsconst", "K"],
+        ):
+            runs = {}
+            for mode, flags in (("lean", []), ("general", ["--no-lean"])):
+                out = subprocess.run(
+                    [sys.executable, "-m", "vaporetto_tpu.cli.predict",
+                     "--model", MODEL_BIN, "--batch-size", "4",
+                     "--backend", "device", *extra, *flags],
+                    input=corpus, capture_output=True, text=True,
+                    timeout=560, env=env,
+                )
+                assert out.returncode == 0, out.stderr
+                runs[mode] = out.stdout
+            assert runs["lean"] == runs["general"], extra
+
     def test_evaluate_cli(self):
         with open(DOCS_TOK) as f:
             docs = f.read()

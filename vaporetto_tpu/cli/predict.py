@@ -132,8 +132,9 @@ def _dispatch_modes(args) -> int:
         return rc
     if args.dp:
         print("warning: --dp requires the lean serving path "
-              "(no --tag-scores, no --scores with --predict-tags, no "
-              "--predict-tags with wsconst G); ignored", file=sys.stderr)
+              "(device backend; no --predict-tags with wsconst G, no "
+              "--tag-scores without --predict-tags); ignored",
+              file=sys.stderr)
 
     def flush_batch(lines: List[str]) -> None:
         sentences: List[Optional[Sentence]] = []
@@ -249,6 +250,7 @@ def _run_lean(args, predictor, infile=None, out_b=None) -> int:
         tags=args.predict_tags,
         scores=args.scores,
         grapheme="G" in args.wsconst,
+        tag_scores=args.tag_scores,
     )
     server.run(infile, out_b)
     out_b.flush()

@@ -486,10 +486,20 @@ class Predictor:
                     self._tag_dev_obj = None
         return self._tag_dev_obj
 
-    def serve_tags_traced_fn(self, wsconst_types: Tuple[int, ...] = ()):
+    def serve_tags_traced_fn(self, wsconst_types: Tuple[int, ...] = (),
+                             want_gap_scores: bool = False,
+                             want_tag_scores: bool = False):
         """The unjitted lean tag-serving function and its table pytree:
         ``fn(cps, lengths, tables) -> (boundaries int8 (B, L-1),
         token_id int32 (B, L), choice int8 (B, L, n_slots))``.
+
+        ``want_gap_scores`` appends the int32 per-gap boundary scores
+        (the lean ``--scores --predict-tags`` combination, reference
+        predict main.rs:65-74,150-156); ``want_tag_scores`` appends the
+        class-concatenated tag score tensor int32 (B, L, C) the argmax
+        otherwise discards (the lean ``--tag-scores`` path, reference
+        main.rs:76-91) — rows are meaningful at token-end positions with
+        ``token_id >= 0``.
 
         Extends the lean boundary kernel with the tag pass ON DEVICE
         (reference predictor.rs:546-637): token spans come from the
@@ -564,7 +574,7 @@ class Predictor:
 
         def fn(cps, lengths, tables):
             B, L = cps.shape
-            gaps, cps, _, _, char_match, type_match = serve_core(
+            gaps, cps, _, gap_scores, char_match, type_match = serve_core(
                 cps, lengths, tables
             )
 
@@ -688,17 +698,26 @@ class Predictor:
             if n_tokens <= 32766:
                 # halve the tid readback (token ids fit int16; -1 = none)
                 tid = tid.astype(jnp.int16)
-            return gaps.astype(jnp.int8), tid, choice
+            outs = [gaps.astype(jnp.int8), tid, choice]
+            if want_gap_scores:
+                outs.append(gap_scores)
+            if want_tag_scores:
+                outs.append(sc)
+            return tuple(outs)
 
         return fn, tables
 
     def serve_tags_fn(self, wsconst_types: Tuple[int, ...] = (),
-                      mesh=None, mesh_axis: str = "dp"):
+                      mesh=None, mesh_axis: str = "dp",
+                      want_gap_scores: bool = False,
+                      want_tag_scores: bool = False):
         """Jitted lean tag-serving path (see :meth:`serve_tags_traced_fn`);
         mesh semantics identical to :meth:`serve_boundaries_fn`."""
         import jax
 
-        fn, tables = self.serve_tags_traced_fn(wsconst_types)
+        fn, tables = self.serve_tags_traced_fn(
+            wsconst_types, want_gap_scores, want_tag_scores
+        )
 
         if mesh is not None:
             from jax.sharding import NamedSharding, PartitionSpec as P
@@ -707,14 +726,19 @@ class Predictor:
             vec_sh = NamedSharding(mesh, P(mesh_axis))
             rep = NamedSharding(mesh, P())
             table_sh = jax.tree.map(lambda _: rep, tables)
+            out_sh = [
+                batch_sh,
+                batch_sh,
+                NamedSharding(mesh, P(mesh_axis, None, None)),
+            ]
+            if want_gap_scores:
+                out_sh.append(batch_sh)
+            if want_tag_scores:
+                out_sh.append(NamedSharding(mesh, P(mesh_axis, None, None)))
             jitted = jax.jit(
                 fn,
                 in_shardings=(batch_sh, vec_sh, table_sh),
-                out_shardings=(
-                    batch_sh,
-                    batch_sh,
-                    NamedSharding(mesh, P(mesh_axis, None, None)),
-                ),
+                out_shardings=tuple(out_sh),
             )
             tables = jax.device_put(tables, table_sh)
         else:

@@ -41,29 +41,35 @@ _WSCONST_FAST = {"D", "R", "H", "T", "K", "O", "G"}
 def lean_path_supported(args_like) -> bool:
     """Whether the predict-CLI flag set can take the lean path.
 
-    ``--predict-tags`` (device tag pass, predictor.serve_tags_fn — check
-    :func:`lean_tags_supported` on the built predictor too) and
-    ``--scores`` (int32 score readback + native score formatter,
-    predictor.serve_scores_fn) are lean-capable since round 3; their
-    combination and ``--tag-scores`` still take the general path.
+    Since round 4 EVERY reference flag combination is lean-capable on
+    the device backend: plain boundaries, ``--predict-tags``,
+    ``--scores``, and the rich combinations (``--scores
+    --predict-tags``, ``--tag-scores`` with ``--predict-tags``,
+    reference predict main.rs:65-91) via the tag kernel's extra score
+    outputs. The exceptions that still route to the general path:
+    ``--predict-tags`` with wsconst G (token spans would desync from
+    the host grapheme mask), ``--tag-scores`` without ``--predict-tags``
+    (the general path raises exactly like the reference), and rich
+    combinations on the host engine.
     """
     from .native import available, scores_detok_available
 
-    if args_like.scores and (
-        args_like.predict_tags or not scores_detok_available()
-    ):
+    backend = getattr(args_like, "backend", "device")
+    if backend not in ("device", "host") or not available():
+        return False
+    if not all(w in _WSCONST_FAST for w in args_like.wsconst):
         return False
     if args_like.predict_tags and "G" in args_like.wsconst:
         # the device tag pass derives token spans from the pre-G
         # boundaries; LeanServer rejects the combination too
         return False
-    backend = getattr(args_like, "backend", "device")
-    return (
-        not args_like.tag_scores
-        and backend in ("device", "host")
-        and all(w in _WSCONST_FAST for w in args_like.wsconst)
-        and available()
-    )
+    if args_like.tag_scores:
+        return bool(args_like.predict_tags) and backend == "device"
+    if args_like.scores:
+        if args_like.predict_tags:
+            return backend == "device"
+        return scores_detok_available()
+    return True
 
 
 def lean_tags_supported(predictor) -> bool:
@@ -189,11 +195,14 @@ class LeanServer:
         tags: bool = False,
         scores: bool = False,
         grapheme: bool = False,
+        tag_scores: bool = False,
     ):
         if mesh is not None and batch_lines % mesh.devices.size:
             raise ValueError("batch_lines must divide by the mesh size")
-        if tags and scores:
-            raise ValueError("lean path supports tags or scores, not both")
+        if tag_scores and not tags:
+            # mirrors the reference/general behavior: --tag-scores needs
+            # a tag-enabled predictor (main.rs:112-115)
+            raise ValueError("lean tag_scores requires tags")
         if tags and grapheme:
             # the device tag pass derives token spans from the pre-G
             # boundaries; a post-hoc host mask would desynchronize them —
@@ -204,10 +213,32 @@ class LeanServer:
         self.tags = bool(tags)
         self.scores = bool(scores)
         self.grapheme = bool(grapheme)
+        self.tag_scores = bool(tag_scores)
+        #: tag pass with extra score outputs: --predict-tags with
+        #: --scores and/or --tag-scores (reference main.rs:65-91), device
+        #: kernels + host formatting
+        self.rich = self.tags and (self.scores or self.tag_scores)
         host_engine = getattr(predictor, "backend", "device") == "host"
         if host_engine and mesh is not None:
             raise ValueError("the lean host engine takes no device mesh")
-        if self.tags:
+        if self.rich:
+            from .native import TagEmitPlan
+
+            if host_engine:
+                raise ValueError(
+                    "lean tags+scores combinations run on the device "
+                    "backend"
+                )
+            self.fn = predictor.serve_tags_fn(
+                tuple(sorted(wsconst)), mesh=mesh,
+                want_gap_scores=self.scores,
+                want_tag_scores=self.tag_scores,
+            )
+            self.plan = TagEmitPlan(
+                predictor.compiled.tag_meta, predictor.compiled.n_tags
+            )
+            self.tag_meta = predictor.compiled.tag_meta
+        elif self.tags:
             from .native import TagEmitPlan
 
             self.fn = (
@@ -299,7 +330,11 @@ class LeanServer:
         res = self.fn(cps, lengths)
         self.n_lines += n_valid
         self.n_chars += int(lengths[:n_valid].sum())
-        host = (cps, lengths) if (self.scores or self.grapheme) else None
+        host = (
+            (cps, lengths)
+            if (self.scores or self.grapheme or self.rich)
+            else None
+        )
         return res, blob, starts[:n_valid], ends[:n_valid], host, None
 
     def _pack_groups(self, counts: np.ndarray):
@@ -381,6 +416,9 @@ class LeanServer:
 
         res, blob, starts, ends, host, packed = pending
         n = len(starts)
+        if self.rich:
+            self._realize_rich(res, blob, starts, ends, host, n, out)
+            return
         if self.scores:
             bnd_d, sc_d = res
             if self.grapheme:
@@ -453,6 +491,77 @@ class LeanServer:
         if data is None:  # native lib raced away; should not happen
             raise RuntimeError("native detokenizer unavailable")
         out.write(data)
+
+    def _realize_rich(self, res, blob, starts, ends, host, n, out) -> None:
+        """--predict-tags with --scores and/or --tag-scores: the device
+        tag kernel's extra outputs are formatted host-side per line,
+        byte-identical to the general path's ``_emit_outputs`` tail
+        (reference print_scores/print_tag_scores, main.rs:65-91). The
+        tokenized tagged lines still come from the native detokenizer;
+        only the diagnostic blocks are Python-formatted."""
+        from .native import detok_tags_native
+
+        it = iter(res)
+        bnd = np.asarray(next(it))
+        tid = np.asarray(next(it))
+        choice = np.asarray(next(it))
+        gap_sc = np.asarray(next(it)) if self.scores else None
+        tag_sc = np.asarray(next(it)) if self.tag_scores else None
+        cps_h, lens_h = host
+        data = detok_tags_native(
+            blob, starts, ends, bnd[:n], tid[:n], choice[:n], self.plan
+        )
+        if data is None:
+            raise RuntimeError("native detokenizer unavailable")
+        lines = bytes(data).split(b"\n")
+        meta = self.tag_meta
+        parts: List[bytes] = []
+        for i in range(n):
+            parts.append(lines[i])
+            parts.append(b"\n")
+            ln = int(lens_h[i])
+            if ln == 0:
+                # the general path's from_raw("") error: bare line, no
+                # blocks
+                continue
+            if self.scores:
+                row = cps_h[i]
+                sc_row = gap_sc[i]
+                parts.extend(
+                    f"{g}:{chr(row[g])}{chr(row[g + 1])} "
+                    f"{int(sc_row[g])}\n".encode("utf-8")
+                    for g in range(ln - 1)
+                )
+                parts.append(b"\n")
+            if self.tag_scores:
+                b = bnd[i, : ln - 1] if ln > 1 else bnd[i, :0]
+                token_ends = np.flatnonzero(b).tolist() + [ln - 1]
+                st = 0
+                for e in token_ends:
+                    surface = "".join(
+                        chr(c) for c in cps_h[i, st : e + 1]
+                    )
+                    buf = [surface.encode("utf-8")]
+                    t = int(tid[i, e])
+                    if t >= 0:
+                        sc_row = tag_sc[i, e]
+                        k = 0
+                        for cands in meta.tags[t]:
+                            if len(cands) == 1:
+                                cell = f"{cands[0]}:0"
+                            else:
+                                cell = ",".join(
+                                    f"{cand}:{int(sc_row[k + j])}"
+                                    for j, cand in enumerate(cands)
+                                )
+                                k += len(cands)
+                            buf.append(b"\t")
+                            buf.append(cell.encode("utf-8"))
+                    parts.append(b"".join(buf))
+                    parts.append(b"\n")
+                    st = e + 1
+                parts.append(b"\n")
+        out.write(b"".join(parts))
 
     def _apply_grapheme(self, bnd: np.ndarray, host, n: int) -> None:
         """AND the ConcatGraphemeClustersFilter into the boundary mask:
