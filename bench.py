@@ -167,6 +167,54 @@ def _measure_e2e_cli(model_path: str, timeout: float = 420,
     raise RuntimeError(out.stderr.decode()[-300:])
 
 
+def _docs_tok_raws():
+    raws = []
+    with open("/root/reference/resources/docs.tok", encoding="utf-8") as f:
+        for ln in f:
+            toks = ln.strip().split(" ")
+            if toks and toks[0]:
+                raws.append("".join(t.split("/")[0] for t in toks))
+    return raws
+
+
+def _conformance_check(model) -> bool:
+    """docs.tok through the DEVICE lean path ON THE REAL CHIP, byte-
+    compared against the reference fixture (conformance contract
+    vaporetto/src/lib.rs:11-45) plus the pinned exact --scores integers
+    (predict main.rs:65-74). The captured record certifies on-chip
+    output correctness, not just CPU-backend test results."""
+    import io
+
+    from vaporetto_tpu.predictor import Predictor
+    from vaporetto_tpu.serving import LeanServer
+
+    with open("/root/reference/resources/docs.tok", "rb") as f:
+        expected = f.read()
+    blob = ("\n".join(_docs_tok_raws()) + "\n").encode("utf-8")
+
+    predt = Predictor(model, predict_tags=True)
+    sink = io.BytesIO()
+    LeanServer(predt, tags=True, batch_lines=64).run(
+        io.BytesIO(blob), sink
+    )
+    ok_tags = sink.getvalue() == expected
+
+    pred_b = Predictor(model)
+    sink2 = io.BytesIO()
+    LeanServer(pred_b, scores=True, batch_lines=64).run(
+        io.BytesIO(blob), sink2
+    )
+    text = sink2.getvalue().decode("utf-8")
+    ok_scores = "5:火星 -21407" in text and "6:星猫 32767" in text
+    if not ok_tags:
+        print("CONFORMANCE FAILURE: device tag output != docs.tok",
+              file=sys.stderr, flush=True)
+    if not ok_scores:
+        print("CONFORMANCE FAILURE: device --scores integers mismatch",
+              file=sys.stderr, flush=True)
+    return ok_tags and ok_scores
+
+
 def _emit(mb_per_sec, chars_per_sec, extra):
     print(
         json.dumps(
@@ -387,13 +435,15 @@ def _measure() -> int:
         extra = dict(extra_prev or {
             "e2e_steady_mchars_per_s": None,
             "e2e_cli_mchars_per_s": None,
+            "conformance_ok": None,
         })
         # pipelined (host-side loop) timing can overlap dispatches and
         # the serve kernel is dispatch-floor-bound outside the serialized
         # loop: a dispatch-floor serve number recorded as a "roofline
         # fraction" is noise (round 2 recorded 0.002), so serve fields
         # are only emitted from serialized-loop measurements
-        if timing.startswith("serialized") and serve_chars_s:
+        if (timing.startswith(("serialized", "dispatch-marginal"))
+                and serve_chars_s):
             serve_gb_s = serve_chars_s * serve_bytes_per_char / 1e9
             serve_fields = {
                 "serve_kernel_gchars_per_s": round(serve_chars_s / 1e9, 2),
@@ -555,6 +605,7 @@ def _measure() -> int:
         extra = {
             "e2e_steady_mchars_per_s": None,
             "e2e_cli_mchars_per_s": None,
+            "conformance_ok": None,
             "device_kind": kind,
             "timing": "unavailable",
             "diagnostics": diagnostics,
@@ -612,6 +663,23 @@ def _measure() -> int:
             time.perf_counter() - t0, 1
         )
         assert first.shape == (B, (L - 1 + 7) // 8)
+
+        # ---- on-chip conformance certificate -------------------------
+        # docs.tok through the DEVICE lean path (tags + exact --scores
+        # integers) byte-compared on the real chip; the record carries
+        # the verdict so correctness on the benchmarked hardware is
+        # certified, not assumed from CPU-backend tests
+        try:
+            print("phase: on-chip conformance", file=sys.stderr,
+                  flush=True)
+            extra["conformance_ok"] = _guarded(
+                lambda: _conformance_check(model),
+                FIRST_READBACK_TIMEOUT, "conformance check",
+            )
+            _emit(mb_per_sec, chars_per_sec, extra)
+        except Exception as e:
+            extra["conformance_ok"] = False
+            print(f"CONFORMANCE FAILURE: {e}", file=sys.stderr)
 
         # ---- readback-grounded serialized loops ----------------------
         # the only timing on this tunnel whose completion signal is
@@ -686,31 +754,52 @@ def _measure() -> int:
                     ),
                 }
             diagnostics["dispatch_marginal"] = marg
-            _emit(mb_per_sec, chars_per_sec, extra)
+            # ---- headline: the STANDALONE program's throughput -------
+            # The in-loop slope measures a while-loop body XLA compiles
+            # to a cheaper program than the standalone jit users run
+            # (fewer copies; PERF.md round-3 note), so the primary value
+            # comes from the batch-size marginal of the standalone
+            # program — readback-grounded, and cross-checked by the
+            # profiler's device-module times. The loop slope stays in
+            # diagnostics.
+            m_full = marg["full"]["marginal_mchars_per_s"]
+            m_serve = marg["serve"]["marginal_mchars_per_s"]
+            if m_full and _physical(
+                m_full * 1e6, full_bytes_per_char, peak
+            ):
+                chars_per_sec = m_full * 1e6
+                if m_serve and _physical(
+                    m_serve * 1e6, serve_bytes_per_char, peak
+                ):
+                    serve_chars_s = m_serve * 1e6
+                mb_per_sec, extra = emit_for(
+                    chars_per_sec, serve_chars_s, B_BIG, extra,
+                    timing="dispatch-marginal-standalone",
+                )
+            else:
+                _emit(mb_per_sec, chars_per_sec, extra)
         except Exception as e:
             print(f"dispatch-marginal phase unavailable: {e}",
                   file=sys.stderr)
 
         print("phase: steady-state e2e", file=sys.stderr, flush=True)
         # one batch worth of real bytes, streamed repeatedly through the
-        # full lean pipeline: tensorize -> dispatch -> readback -> detok
+        # SHIPPED lean pipeline (LeanServer: native tensorize ->
+        # double-buffered dispatch -> bit-packed readback -> native
+        # detok)
+        import io
+
+        from vaporetto_tpu.serving import LeanServer
+
         line = "".join(chr(c) for c in cps16[0, :200]).encode("utf-8")
-        blob = np.frombuffer(b"\n".join([line] * B) + b"\n", dtype=np.uint8)
-        nl = np.flatnonzero(blob == 0x0A)
-        starts = np.empty(len(nl), dtype=np.int64)
-        starts[0] = 0
-        starts[1:] = nl[:-1] + 1
-        ends = nl
+        blob_b = b"\n".join([line] * B) + b"\n"
         n_chars_batch = 200 * B
+        lean = LeanServer(pred, batch_lines=B)
+        lean.run(io.BytesIO(blob_b), io.BytesIO())  # warm-up
         reps = 4  # ~6.5M chars; enough for steady state, bounded on bad days
         t0 = time.perf_counter()
         for _ in range(reps):
-            bcps, blens = tensorize16_native(blob, starts, ends, 256)
-            bnd_h = np.asarray(serve(bcps, blens))  # bit-packed gaps
-            data = detok_bits_native(
-                blob, starts, ends, bnd_h, bnd_h.shape[1] * 8
-            )
-            assert data
+            lean.run(io.BytesIO(blob_b), io.BytesIO())
         e2e_dt = time.perf_counter() - t0
         extra["e2e_steady_mchars_per_s"] = round(
             n_chars_batch * reps / e2e_dt / 1e6, 2
@@ -763,72 +852,36 @@ def _measure() -> int:
         print(f"phase: lean tag e2e ({remaining:.0f}s budget)",
               file=sys.stderr, flush=True)
         try:
-            from vaporetto_tpu.native import (
-                TagEmitPlan,
-                detok_bits_native,
-                detok_tags_native,
-                tensorize16_native,
-            )
+            import io
+
+            from vaporetto_tpu.serving import LeanServer
 
             predt = Predictor(model, predict_tags=True)
-            tag_fn = predt.serve_tags_fn()
-            plan = TagEmitPlan(
-                predt.compiled.tag_meta, predt.compiled.n_tags
-            )
-            raws = []
-            with open("/root/reference/resources/docs.tok",
-                      encoding="utf-8") as f:
-                for ln in f:
-                    toks = ln.strip().split(" ")
-                    if toks and toks[0]:
-                        raws.append(
-                            "".join(t.split("/")[0] for t in toks)
-                        )
-            line_bs = [r.encode("utf-8") for r in raws]
-            Bt = B_SMALL
-            lines_rep = (line_bs * (Bt // len(line_bs) + 1))[:Bt]
-            blob2 = np.frombuffer(
-                b"\n".join(lines_rep) + b"\n", dtype=np.uint8
-            )
-            nl2 = np.flatnonzero(blob2 == 0x0A)
-            st2 = np.empty(len(nl2), dtype=np.int64)
-            st2[0] = 0
-            st2[1:] = nl2[:-1] + 1
-            en2 = nl2
-            from vaporetto_tpu.utils.batch import bucket_length
-
-            Lt = bucket_length(max(len(r) for r in raws) + 1)
-            bcps, blens = tensorize16_native(blob2, st2, en2, Lt)
-            n_chars_t = int(blens.sum())
-            res = tag_fn(bcps, blens)  # compile (persistent-cached)
-            np.asarray(res[0])
-            reps = 4
+            # ~2M chars of short tagged lines (docs.tok raws repeated):
+            # the boundary run exercises the shipped short-line PACKED
+            # path; the tag run the unpacked (8192, 16) tag kernel
+            raws = _docs_tok_raws()
+            n_rep = 2048 if smoke else 262144
+            lines_rep = (raws * (n_rep // len(raws) + 1))[:n_rep]
+            blob_t = ("\n".join(lines_rep) + "\n").encode("utf-8")
+            n_chars_t = sum(len(r) for r in lines_rep)
+            reps = 2
+            lean_t = LeanServer(predt, tags=True, batch_lines=B_SMALL)
+            lean_t.run(io.BytesIO(blob_t), io.BytesIO())  # warm-up
             t0 = time.perf_counter()
             for _ in range(reps):
-                bcps, blens = tensorize16_native(blob2, st2, en2, Lt)
-                bnd_t, tid_t, ch_t = tag_fn(bcps, blens)
-                data = detok_tags_native(
-                    blob2, st2, en2, np.asarray(bnd_t),
-                    np.asarray(tid_t), np.asarray(ch_t), plan,
-                )
-                assert data
+                lean_t.run(io.BytesIO(blob_t), io.BytesIO())
             dt = time.perf_counter() - t0
             extra["e2e_tags_steady_mchars_per_s"] = round(
                 n_chars_t * reps / dt / 1e6, 2
             )
-            # boundary-only e2e over the SAME corpus/shape, so the
-            # tag-path cost ratio is apples-to-apples (short lines make
-            # per-batch overhead dominate BOTH numbers equally)
-            b0 = serve(*tensorize16_native(blob2, st2, en2, Lt))
-            np.asarray(b0[0, :1])
+            # boundary-only e2e over the SAME corpus through the shipped
+            # packed path, so the tag-path cost ratio is apples-to-apples
+            lean_b = LeanServer(pred, batch_lines=B_SMALL)
+            lean_b.run(io.BytesIO(blob_t), io.BytesIO())  # warm-up
             t0 = time.perf_counter()
             for _ in range(reps):
-                bcps, blens = tensorize16_native(blob2, st2, en2, Lt)
-                bnd_b = np.asarray(serve(bcps, blens))  # bit-packed
-                data = detok_bits_native(
-                    blob2, st2, en2, bnd_b, bnd_b.shape[1] * 8
-                )
-                assert data
+                lean_b.run(io.BytesIO(blob_t), io.BytesIO())
             dtb = time.perf_counter() - t0
             extra["e2e_boundary_same_corpus_mchars_per_s"] = round(
                 n_chars_t * reps / dtb / 1e6, 2
