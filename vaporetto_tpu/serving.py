@@ -282,7 +282,7 @@ class LeanServer:
         # lengths, scores need per-line codepoint rows, and a sharded
         # batch dimension must stay divisible by the mesh.
         self.pack = (
-            not tags and not scores
+            not self.rich and not scores
             and mesh is None
             and not host_engine
         )
@@ -437,10 +437,31 @@ class LeanServer:
             bnd = np.asarray(bnd_d)
             tid = np.asarray(tid_d)
             choice = np.asarray(choice_d)
-            data = detok_tags_native(
-                blob, starts, ends, bnd[:n], tid[:n], choice[:n],
-                self.plan,
-            )
+            if packed is not None:
+                # per-line slices out of the packed rows (the kernel's
+                # separator-aware span derivation guarantees tokens
+                # never cross line junctions)
+                row, col, max_chars = packed
+                W = max(max_chars, 2)
+                pcols = col[:, None].astype(np.int64) + np.arange(
+                    W, dtype=np.int64
+                )
+                r2 = row[:, None]
+                tid = tid[r2, np.minimum(pcols, tid.shape[1] - 1)]
+                choice = choice[
+                    r2, np.minimum(pcols, choice.shape[1] - 1), :
+                ]
+                bnd = bnd[
+                    r2, np.minimum(pcols[:, : W - 1], bnd.shape[1] - 1)
+                ]
+                data = detok_tags_native(
+                    blob, starts, ends, bnd, tid, choice, self.plan
+                )
+            else:
+                data = detok_tags_native(
+                    blob, starts, ends, bnd[:n], tid[:n], choice[:n],
+                    self.plan,
+                )
         else:
             from .native import detok_bits_native
 
