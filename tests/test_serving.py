@@ -776,3 +776,43 @@ def test_packed_tags_match_general():
         out.append(orig.write_tokenized_text())
     want = ("\n".join(out) + "\n").encode("utf-8")
     assert sink.getvalue() == want
+
+
+class TestFuzzMixedLengths:
+    """Fuzz the packed/unpacked group splitting: line lengths straddle
+    PACK_MAX_LINE so every chunk mixes packed super-groups with classic
+    groups, including emoji-forced fallbacks."""
+
+    def _lines(self, seed, n=160):
+        rng = np.random.default_rng(seed)
+        pool = (
+            [chr(c) for c in range(0x3041, 0x3097)]
+            + [chr(c) for c in range(0x4E00, 0x4E40)]
+            + list("abc01 /\\")
+        )
+        lines = []
+        for _ in range(n):
+            r = rng.random()
+            if r < 0.6:
+                k = int(rng.integers(0, 20))
+            elif r < 0.9:
+                k = int(rng.integers(60, 70))  # straddles PACK_MAX_LINE
+            else:
+                k = int(rng.integers(100, 140))
+            line = "".join(rng.choice(pool) for _ in range(k))
+            if rng.random() < 0.05:
+                line += "\U0001F431"  # astral: forces fallback slices
+            lines.append(line)
+        return lines
+
+    @pytest.mark.parametrize("seed", [11, 12])
+    def test_boundaries(self, bundled_pred, seed):
+        lines = self._lines(seed)
+        assert lean_path(bundled_pred, lines, batch_lines=16) == \
+            general_path(bundled_pred, lines)
+
+    @pytest.mark.parametrize("seed", [13])
+    def test_tags(self, bundled_pred_tags, seed):
+        lines = self._lines(seed)
+        assert lean_path_tags(bundled_pred_tags, lines, batch_lines=16) == \
+            general_path_tags(bundled_pred_tags, lines)
