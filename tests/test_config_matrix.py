@@ -64,3 +64,47 @@ class TestConfigMatrix:
         batch = [Sentence.from_raw(t) for t in texts]
         pred.predict_batch(batch)
         assert [s.boundary_scores_list() for s in batch] == singles
+
+
+def test_type_split_tables_match_cache(monkeypatch):
+    """VAPORETTO_TPU_TYPE_SPLIT=1 (opt-in experiment) must produce the
+    exact conformance outputs: the left/mid/right decomposition is
+    numerically identical to the cache table (see also the direct
+    table-equivalence check below)."""
+    import numpy as np
+
+    from vaporetto_tpu.models.model import Model
+    from vaporetto_tpu.predictor import Predictor
+    from vaporetto_tpu.sentence import Sentence
+
+    monkeypatch.setenv("VAPORETTO_TPU_TYPE_SPLIT", "1")
+    pred = Predictor(Model.read("/root/reference/resources/model.bin"))
+    assert "type_split" in pred._tables()
+    s = Sentence.from_raw("まぁ社長は火星猫だ")
+    pred.predict(s)
+    assert s.write_tokenized_text() == "まぁ 社長 は 火星 猫 だ"
+
+    c = pred.compiled
+    tl, tm, tr = c.type_split_tables
+    w, maxn = c.type_window_size, c.type_split_maxn
+    cache = c.type_cache_table
+    n = len(cache)
+    ids = np.arange(n, dtype=np.int64)
+    seq = 2 * w
+    syms = [(ids >> (3 * (seq - 1 - k))) & 7 for k in range(seq)]
+    valid = np.ones(n, bool)
+    for k in range(seq):
+        valid &= syms[k] != 7
+
+    def code(poss):
+        c2 = np.zeros(n, np.int64)
+        for x in poss:
+            c2 = (c2 << 3) | syms[x]
+        return c2
+
+    recon = (
+        tl[code(range(0, w))]
+        + tm[code(range(w - maxn + 1, w + maxn - 1))]
+        + tr[code(range(w, 2 * w))]
+    )
+    assert (recon[valid] == cache[valid]).all()

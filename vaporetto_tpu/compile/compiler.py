@@ -88,6 +88,11 @@ class CompiledModel:
     # type_cache_table into 2w small tables (same scores).
     type_pos_tables: Optional[np.ndarray] = None  # int32[2w, 8**M]
     type_pos_m: int = 0
+    # left/mid/right split of the cache table (3 small gathers; see
+    # _build_type_split_tables)
+    type_split_tables: Optional[Tuple[np.ndarray, np.ndarray,
+                                      np.ndarray]] = None
+    type_split_maxn: int = 0
 
 
 def _pack_weight_rows(
@@ -414,6 +419,71 @@ def _build_type_pos_tables(
     return tables.astype(np.int32), M
 
 
+def _build_type_split_tables(
+    ngrams: List[Tuple[Tuple[int, ...], List[int]]], window_size: int
+) -> Optional[Tuple[np.ndarray, np.ndarray, np.ndarray, int]]:
+    """Decompose the 8^(2w) cache table into three SMALL tables.
+
+    Every n-gram occurrence in the 2w window lies fully in the left half
+    (window[0:w]), fully in the right half (window[w:2w]), or crosses
+    the middle — and a crossing occurrence (len n <= maxn) lies within
+    window[w-maxn+1 : w+maxn-1]. So
+
+        score(gap) = TL[code(window[0:w])] + TM[code(mid)] +
+                     TR[code(window[w:2w])]
+
+    with tables of 8^w / 8^(2*maxn-2) / 8^w entries (512/4096/512 for
+    the default w = maxn = 3) instead of one 8^6 monster — on the TPU
+    the gather cost is tiered by table size (PERF.md round-4 cost
+    model). Numerically identical to :func:`_build_type_cache_table`
+    (same occurrence enumeration, partitioned).
+    """
+    w = window_size
+    maxn = max((len(g) for g, _ in ngrams), default=0)
+    if maxn == 0 or maxn > w:
+        return None
+    seq = 2 * w
+    mid_lo = w - maxn + 1
+    mid_len = 2 * maxn - 2
+
+    def accumulate(n_chars, occs):
+        n_codes = 8 ** max(n_chars, 1)
+        ids = np.arange(n_codes, dtype=np.int64)
+        syms = [
+            (ids >> (3 * (n_chars - 1 - k))) & 7 for k in range(n_chars)
+        ]
+        out = np.zeros(n_codes, dtype=np.int64)
+        for local_start, ngram, weight in occs:
+            hit = np.ones(n_codes, dtype=bool)
+            for jj, a in enumerate(ngram):
+                hit &= syms[local_start + jj] == a
+            out[hit] += weight
+        return out
+
+    occ_l, occ_m, occ_r = [], [], []
+    for ngram, weights in ngrams:
+        n = len(ngram)
+        for end in range(n, seq + 1):
+            w_idx = seq - end
+            if w_idx >= len(weights):
+                continue
+            j = end - n
+            if end <= w:
+                occ_l.append((j, ngram, weights[w_idx]))
+            elif j >= w:
+                occ_r.append((j - w, ngram, weights[w_idx]))
+            else:
+                occ_m.append((j - mid_lo, ngram, weights[w_idx]))
+    tl = accumulate(w, occ_l)
+    tm = accumulate(mid_len, occ_m)
+    tr = accumulate(w, occ_r)
+    for t in (tl, tm, tr):
+        if (np.abs(t) > 2**31 - 1).any():
+            return None
+    return (tl.astype(np.int32), tm.astype(np.int32),
+            tr.astype(np.int32), maxn)
+
+
 def _build_type_cache_table(
     ngrams: List[Tuple[Tuple[int, ...], List[int]]], window_size: int
 ) -> np.ndarray:
@@ -476,6 +546,7 @@ def compile_model(
     char_sym_table = None
     char_hash = None
     type_pos = None
+    type_split = None
     use_char = (
         (model.char_ngram_model or model.dict_model)
         and model.char_window_size > 0
@@ -559,6 +630,9 @@ def compile_model(
                 ngrams, model.type_window_size
             )
             type_pos = _build_type_pos_tables(ngrams, model.type_window_size)
+            type_split = _build_type_split_tables(
+                ngrams, model.type_window_size
+            )
         else:
             type_matcher = _compile_type_trie_fast(
                 model, with_tags, n_tag_models
@@ -627,4 +701,6 @@ def compile_model(
         char_hash_syms=char_hash[3] if char_hash else None,
         type_pos_tables=type_pos[0] if type_pos else None,
         type_pos_m=type_pos[1] if type_pos else 0,
+        type_split_tables=type_split[:3] if type_split else None,
+        type_split_maxn=type_split[3] if type_split else 0,
     )

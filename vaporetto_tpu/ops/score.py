@@ -310,3 +310,50 @@ def type_cache_scores(
     gap_scores = jnp.where(gap_ok, gap_scores, 0)
     # pad_right >= 1 is guaranteed by the compiler, so this slice is in bounds
     return scores.at[:, pad_left : pad_left + L].add(gap_scores)
+
+
+def type_split_scores(
+    char_types: jax.Array,  # (B, L) int32 type codes 1..6, 0 = padding
+    lengths: jax.Array,  # (B,) int32 true sentence lengths
+    tl: jax.Array,  # (8**w,) int32 left-half table
+    tm: jax.Array,  # (8**(2*maxn-2),) int32 crossing table
+    tr: jax.Array,  # (8**w,) int32 right-half table
+    window_size: int,
+    maxn: int,
+    scores: jax.Array,  # (B, S) int32 padded score buffer
+    pad_left: int,
+) -> jax.Array:
+    """Type scoring via the left/mid/right split of the cache table
+    (compiler._build_type_split_tables): three SMALL-table gathers
+    instead of one 8^(2w) gather — numerically identical to
+    :func:`type_cache_scores`."""
+    B, L = char_types.shape
+    w = window_size
+    t_idx = jax.lax.broadcasted_iota(jnp.int32, (B, L), 1)
+    ct = jnp.where(t_idx < lengths[:, None], char_types.astype(jnp.int32), 0)
+
+    def shifted(shift):
+        if shift <= 0:
+            return jnp.pad(
+                ct[:, : L + shift] if shift < 0 else ct,
+                ((0, 0), (-shift, 0)),
+                constant_values=0,
+            )
+        return jnp.pad(ct[:, shift:], ((0, 0), (0, shift)),
+                       constant_values=0)
+
+    # window position x holds char index gap_i + (x - (w - 1))
+    def code(positions):
+        c = jnp.zeros((B, L), dtype=jnp.int32)
+        for x in positions:
+            c = (c << 3) | shifted(x - (w - 1))
+        return c
+
+    gap_scores = (
+        tl[code(range(0, w))]
+        + tm[code(range(w - maxn + 1, w + maxn - 1))]
+        + tr[code(range(w, 2 * w))]
+    )
+    gap_ok = t_idx < (lengths[:, None] - 1)
+    gap_scores = jnp.where(gap_ok, gap_scores, 0)
+    return scores.at[:, pad_left : pad_left + L].add(gap_scores)

@@ -132,7 +132,15 @@ class Predictor:
                 wide = build_wide_rows(m)
                 if wide is not None:
                     t["type_wide"] = jnp.asarray(wide[0])
-            if use_small_tables and c.type_pos_tables is not None:
+            use_split = (
+                os.environ.get("VAPORETTO_TPU_TYPE_SPLIT") == "1"
+                and getattr(c, "type_split_tables", None) is not None
+            )
+            if use_split:
+                t["type_split"] = tuple(
+                    jnp.asarray(x) for x in c.type_split_tables
+                )
+            elif use_small_tables and c.type_pos_tables is not None:
                 t["type_pos"] = jnp.asarray(c.type_pos_tables)
             elif c.type_cache_table is not None:
                 t["type_cache"] = jnp.asarray(c.type_cache_table)
@@ -1238,6 +1246,7 @@ def _make_score_core(c):
         shift_add_scores,
         type_cache_scores,
         type_pos_scores,
+        type_split_scores,
         wide_add_scores,
         wide_offset_span,
     )
@@ -1279,7 +1288,12 @@ def _make_score_core(c):
                     char_match, rf, rc, w8, off, c.char_matcher, scores,
                     pad_left, c.char_matcher.max_chunks,
                 )
-        if "type_pos" in tables:
+        if "type_split" in tables:
+            scores = type_split_scores(
+                cts, lengths, *tables["type_split"], c.type_window_size,
+                c.type_split_maxn, scores, pad_left,
+            )
+        elif "type_pos" in tables:
             scores = type_pos_scores(
                 cts, lengths, tables["type_pos"], c.type_window_size,
                 c.type_pos_m, scores, pad_left,
