@@ -816,3 +816,18 @@ class TestFuzzMixedLengths:
         lines = self._lines(seed)
         assert lean_path_tags(bundled_pred_tags, lines, batch_lines=16) == \
             general_path_tags(bundled_pred_tags, lines)
+
+
+def test_very_long_line_routes_to_chunked_general_path(bundled_pred):
+    """Lines beyond LONG_SENTENCE_THRESHOLD must leave the lean path
+    (halo-overlap chunking in the fallback) without corrupting the
+    surrounding short lines' outputs or ordering."""
+    rng = np.random.default_rng(21)
+    pool = "まぁ社長は火星猫だ良いだろう"
+    long_line = "".join(
+        pool[i] for i in rng.integers(0, len(pool), 9000)
+    )
+    lines = ["まぁ社長", long_line, "猫だ"]
+    want = general_path(bundled_pred, lines)
+    got = lean_path(bundled_pred, lines, batch_lines=4)
+    assert got == want
