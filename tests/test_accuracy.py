@@ -63,14 +63,17 @@ def test_heldout_f1(solver):
     assert m.f1 > 0.95, f"solver {solver}: char F1 {m.f1}"
 
 
-def test_heldout_word_f1_with_tags():
+@pytest.mark.parametrize("solver", [5, 4])
+def test_heldout_word_f1_with_tags(solver):
+    """Tag training e2e incl. enum 4: multi-candidate tag slots train the
+    JOINT Crammer-Singer objective (train_crammer_singer)."""
     rng = np.random.default_rng(11)
     train = make_corpus(rng, 300, with_tags=True)
     test = make_corpus(rng, 40, with_tags=True)
     trainer = Trainer(3, 3, 3, 3, [], 4)
     for line in train:
         trainer.add_example(Sentence.from_tokenized(line))
-    model = trainer.train(0.01, 1.0, 5)
+    model = trainer.train(0.01, 1.0, solver)
     pred = Predictor(model, True)
 
     results = []

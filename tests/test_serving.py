@@ -743,9 +743,12 @@ def test_packed_tags_match_general():
     keeps tokens within lines)."""
     import io
 
+    from vaporetto_tpu.native import available
     from vaporetto_tpu.serving import LeanServer
     from vaporetto_tpu.rules import KyteaFullwidthFilter
 
+    if not available():
+        pytest.skip("native library unavailable")
     pred = Predictor(
         Model.read("/root/reference/resources/model.bin"), True
     )
