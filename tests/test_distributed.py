@@ -114,9 +114,11 @@ class TestTwoProcessPredict:
         ]
 
     @pytest.mark.parametrize("extra", [
-        [],                                  # lean path
+        [],                                  # lean path (auto backend)
+        ["--backend", "device"],             # lean packed device path
         ["--no-lean"],                       # batched_lines general path
-        ["--predict-tags"],                  # lean device tag path
+        ["--predict-tags"],                  # lean tag path
+        ["--backend", "device", "--predict-tags"],  # packed device tags
         ["--no-lean", "--scores"],           # score blocks in parts
         ["--no-lean", "--predict-tags", "--tag-scores"],
     ])
