@@ -344,6 +344,8 @@ class LeanServer:
         full rows regardless of line length), long lines fall into
         classic ``batch_lines``-line groups. Yields (lo, hi, packed)."""
         n = len(counts)
+        if n == 0:
+            return
         B = self.batch_lines
         sep = self._sep
         cap = PACK_L - PACK_MAX_LINE - sep
