@@ -808,6 +808,58 @@ def _measure() -> int:
         print(f"steady-state e2e unavailable: {e}", file=sys.stderr)
     _emit(mb_per_sec, chars_per_sec, extra)
 
+    # ---- big-model scale row (guarded) ---------------------------------
+    # the PERF.md scale-behavior row IN the captured record: the 50k-word
+    # synthetic dictionary model's serve throughput, readback-grounded
+    # (benchmarks/big_model_bench.py is the standalone reproduction)
+    remaining = deadline - (time.monotonic() - t_start)
+    if not smoke and extra.get("conformance_ok") and remaining > 240:
+        try:
+            print("phase: big-model scale row", file=sys.stderr, flush=True)
+            sys.path.insert(0, os.path.join(
+                os.path.dirname(os.path.abspath(__file__)), "benchmarks"
+            ))
+            from big_model_bench import build_big_model
+
+            big_pred = Predictor(build_big_model())
+            bserve, btables = big_pred.serve_traced_fn()
+
+            @jax.jit
+            def big_loop(cps_a, lengths_a, tables, n):
+                def body(i, carry):
+                    cps_b, carry_b = lax.optimization_barrier(
+                        (cps_a, carry)
+                    )
+                    cps_b = cps_b + carry_b[:, :1].astype(cps_b.dtype)
+                    return bserve(cps_b, lengths_a, tables)
+
+                init = jnp.zeros(
+                    (cps_a.shape[0], (cps_a.shape[1] - 1 + 7) // 8),
+                    dtype=jnp.uint8,
+                )
+                return lax.fori_loop(0, n, body, init)
+
+            bc = jax.device_put(cps16[:B_SMALL])
+            bl = jax.device_put(lengths[:B_SMALL])
+            np.asarray(big_loop(bc, bl, btables, 1)[0, :1])
+            counts_b = (2, 6)
+            tsb = {}
+            for nn in counts_b:
+                best = 1e9
+                for _ in range(2):
+                    t0 = time.perf_counter()
+                    np.asarray(big_loop(bc, bl, btables, nn)[0, :1])
+                    best = min(best, time.perf_counter() - t0)
+                tsb[nn] = best
+            slope_b = (tsb[6] - tsb[2]) / 4
+            extra["big_model_serve_ms_per_iter"] = round(slope_b * 1e3, 1)
+            extra["big_model_mchars_per_s"] = round(
+                B_SMALL * L / slope_b / 1e6, 2
+            )
+            _emit(mb_per_sec, chars_per_sec, extra)
+        except Exception as e:
+            print(f"big-model phase unavailable: {e}", file=sys.stderr)
+
     # ---- whole-CLI via the native HOST engine (no device) --------------
     # the one-call C++ serving path (`--backend host`); on this
     # environment's degraded device this is the shipped CLI's fastest

@@ -157,7 +157,9 @@ class Predictor:
 
     def serve_boundaries_fn(self, wsconst_types: Tuple[int, ...] = (),
                             mesh=None, mesh_axis: str = "dp"):
-        """HBM-lean serving path: ``fn(codepoints, lengths) -> int8 (B, L-1)``.
+        """HBM-lean serving path: ``fn(codepoints, lengths) ->
+        uint8 (B, ceil((L-1)/8))`` — the boundary mask bit-packed 8 gaps
+        per byte (see :meth:`serve_traced_fn`).
 
         ``wsconst_types``: character-type codes whose equal-type neighbor
         gaps are forced to NotWordBoundary ON DEVICE — the KyteaWsConst
@@ -175,14 +177,15 @@ class Predictor:
         * classifies character types ON DEVICE (a VMEM-resident 64 KiB
           uint8 BMP table + astral kanji-extension range checks — exact
           parity with :func:`sentence.char_types_of_codepoints`),
-        * returns only the thresholded per-gap boundary mask as int8
-          instead of the padded int32 score buffer and the match tensor.
+        * returns only the thresholded per-gap boundary mask, BIT-PACKED
+          (1 bit/gap), instead of the padded int32 score buffer and the
+          match tensor.
 
         The codepoint input may be **uint16** for pure-BMP batches (callers
         route the rare astral-plane-containing lines to the int32 path —
         dtype dispatch retraces automatically): on this HBM-bandwidth-bound
-        pipeline the bytes/char ARE the throughput, and uint16-in/int8-out
-        is ~3 B/char vs the full path's ~16 B/char.
+        pipeline the bytes/char ARE the throughput, and uint16 in /
+        1 bit per gap out is ~2.1 B/char vs the full path's ~16 B/char.
         """
         import jax
 

@@ -4,21 +4,31 @@ The reference predict CLI's whole-pipeline contract is wall-clock elapsed
 over the per-line loop (predict/src/main.rs:124,183-185). This module is
 the TPU-native equivalent tuned end-to-end:
 
-    bytes -> native uint16 tensorize (+ fused fullwidth normalization)
-          -> device boundary kernel (uint16 in, int8 out, wsconst fused)
-          -> native byte-level detokenizer against the ORIGINAL bytes
+    bytes -> native uint16 tensorize (+ fused fullwidth normalization;
+             short-line runs PACKED many-per-row with separator gaps)
+          -> device boundary kernel (uint16 in, BIT-PACKED gap mask out,
+             wsconst fused; tag pass / score outputs when asked)
+          -> native detokenizer against the ORIGINAL bytes (consumes the
+             bit-packed gaps directly, with per-line (row, col)
+             placement for packed batches)
           -> bytes
 
-* ~3 B/char crosses the host<->device boundary (uint16 codepoints in,
-  int8 gap labels out) vs ~16 B/char on the general path.
+* ~2.1 B/char crosses the host<->device boundary on the boundary path
+  (uint16 codepoints in, 1 bit per gap out) vs ~16 B/char on the
+  general path.
 * Each stage is C++ or XLA; Python only orchestrates batches. Lines are
   addressed as (start, end) byte ranges straight into the read chunk —
   the input bytes are never copied host-side.
 * Double buffering: batch k+1 is dispatched before batch k's result is
   read back, overlapping device compute with host detokenization.
+* Short-line packing: contiguous runs of lines <= PACK_MAX_LINE chars
+  pack many-per-(B, PACK_L)-row with separator gaps computed exactly
+  from the compiled tables (score spill + type-window isolation), and
+  groups target a constant per-dispatch character volume.
 
-Lines the lean path cannot represent (astral-plane codepoints) fall back
-to the caller-provided general path, preserving output order.
+Lines the lean path cannot represent (astral-plane codepoints, NUL
+bytes, over-long lines) fall back to the caller-provided general path,
+preserving output order.
 """
 
 from __future__ import annotations
