@@ -173,6 +173,13 @@ def _load() -> Optional[ctypes.CDLL]:
             ctypes.POINTER(ctypes.c_int32),   # out_tm (nullable)
             ctypes.c_int32,                   # n_threads
         ]
+    if hasattr(lib, "vt_find_newlines"):
+        lib.vt_find_newlines.restype = ctypes.c_int64
+        lib.vt_find_newlines.argtypes = [
+            ctypes.POINTER(ctypes.c_uint8),
+            ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_int64),  # out (nullable = count only)
+        ]
     if hasattr(lib, "vt_count_chars"):
         lib.vt_count_chars.restype = None
         lib.vt_count_chars.argtypes = [
@@ -1361,6 +1368,24 @@ def detok_tags_native(
 def scores_detok_available() -> bool:
     lib = _load()
     return lib is not None and hasattr(lib, "vt_detok_scores")
+
+
+def find_newlines_native(blob: np.ndarray) -> Optional[np.ndarray]:
+    """int64 positions of every 0x0A byte in ``blob`` (memchr-based; see
+    vt_find_newlines), or None without native support."""
+    lib = _load()
+    if lib is None or not hasattr(lib, "vt_find_newlines"):
+        return None
+    buf = blob if blob.size else np.zeros(1, dtype=np.uint8)
+    U8P = ctypes.POINTER(ctypes.c_uint8)
+    n = lib.vt_find_newlines(buf.ctypes.data_as(U8P), len(blob), None)
+    out = np.empty(n, dtype=np.int64)
+    if n:
+        lib.vt_find_newlines(
+            buf.ctypes.data_as(U8P), len(blob),
+            out.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        )
+    return out
 
 
 def count_chars_native(

@@ -658,7 +658,11 @@ class LeanServer:
                 carry = data[cut + 1 :]
                 data = data[: cut + 1]
             blob = np.frombuffer(data, dtype=np.uint8)
-            nl = np.flatnonzero(blob == 0x0A)
+            from .native import find_newlines_native
+
+            nl = find_newlines_native(blob)
+            if nl is None:
+                nl = np.flatnonzero(blob == 0x0A)
             if len(nl) == 0:
                 continue
             starts = np.empty(len(nl), dtype=np.int64)
