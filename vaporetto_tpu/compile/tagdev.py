@@ -58,6 +58,11 @@ class _HashTable:
     ver_tid: np.ndarray  # int32 (P,), -2 = empty
     ver_state: np.ndarray  # int32 (P,)
     row: np.ndarray  # int32 (P,) index into w_rows
+    #: the relative position this table serves (tables for rels with no
+    #: entries are dropped entirely — the device kernel pays one probe
+    #: gather + one weight-row gather per table, so empties must not
+    #: exist)
+    rel: int = 0
 
 
 @dataclasses.dataclass
@@ -235,30 +240,18 @@ def build_device_tag_tables(compiled) -> Optional[DeviceTagTables]:
         ent_rel_a = np.asarray(ent_rel, dtype=np.int64)
         ent_st_a = np.asarray(ent_st, dtype=np.int64)
         row_ids = base + np.arange(n_ent, dtype=np.int64)
-        tabs: List[Optional[_HashTable]] = []
+        tabs: List[_HashTable] = []
         for rel in range(n_rel):
             m = ent_rel_a == rel
+            if not m.any():
+                continue  # no entries at this rel: no table, no gathers
             t = _build_hash(
                 ent_tid_a[m], ent_st_a[m], row_ids[m].astype(np.int32)
             )
-            if t is None and m.any():
+            if t is None:
                 return None
+            t.rel = rel
             tabs.append(t)
-        # drop trailing rels with no entries
-        while tabs and tabs[-1] is None:
-            tabs.pop()
-        if any(t is None for t in tabs):
-            # keep positional alignment: an empty rel inside the range
-            # becomes a 1-slot never-matching table
-            tabs = [
-                t if t is not None else _HashTable(
-                    29, 1,
-                    np.full(8, -2, dtype=np.int32),
-                    np.zeros(8, dtype=np.int32),
-                    np.zeros(8, dtype=np.int32),
-                )
-                for t in tabs
-            ]
         return tabs
 
     char_tabs = pack_side(compiled.char_matcher)

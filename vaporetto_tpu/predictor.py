@@ -576,8 +576,8 @@ class Predictor:
         S = dt.n_slots
         C = dt.n_classes
         # static probe metadata (python ints; see _build_predict_fn note)
-        char_meta = [(t.shift, t.probe_len) for t in dt.char_tabs]
-        type_meta = [(t.shift, t.probe_len) for t in dt.type_tabs]
+        char_meta = [(t.shift, t.probe_len, t.rel) for t in dt.char_tabs]
+        type_meta = [(t.shift, t.probe_len, t.rel) for t in dt.type_tabs]
         m1 = int(np.int64(np.uint32(_M1)) - (1 << 32)
                  if int(_M1) >= 1 << 31 else int(_M1))
         m2 = int(np.int64(np.uint32(_M2)) - (1 << 32)
@@ -667,14 +667,14 @@ class Predictor:
             def add_side(sc, match, key, meta):
                 if match is None or not meta:
                     return sc
-                for j, (shift, probe) in enumerate(meta):
+                for j, (shift, probe, rel) in enumerate(meta):
                     tab3 = tables[key][j]  # (P, 3): tid, state, row
                     size = tab3.shape[0]
-                    if j == 0:
+                    if rel == 0:
                         st = match
                     else:
                         st = jnp.pad(
-                            match[:, j:], ((0, 0), (0, j)),
+                            match[:, rel:], ((0, 0), (0, rel)),
                             constant_values=-1,
                         )
                     h = tid * jnp.int32(m1) + st * jnp.int32(m2)
