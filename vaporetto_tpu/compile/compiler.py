@@ -23,7 +23,7 @@ import numpy as np
 from ..errors import invalid_model
 from ..models.model import Model
 from .merger import PositionalWeight, PositionalWeightWithTag, WeightMerger
-from .trie import DoubleArrayTrie, build_trie
+from .trie import build_trie
 
 __all__ = ["CompiledModel", "CompiledMatcher", "compile_model",
            "CACHE_MAX_WINDOW_SIZE"]

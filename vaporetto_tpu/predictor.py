@@ -27,7 +27,7 @@ import numpy as np
 from .compile.compiler import CompiledModel, compile_model
 from .models.model import Model
 from .sentence import Sentence
-from .utils.batch import bucket_length, tensorize
+from .utils.batch import tensorize
 
 __all__ = ["Predictor"]
 
