@@ -834,3 +834,37 @@ def test_very_long_line_routes_to_chunked_general_path(bundled_pred):
     want = general_path(bundled_pred, lines)
     got = lean_path(bundled_pred, lines, batch_lines=4)
     assert got == want
+
+
+def test_pack_separator_covers_wide_reach_weights():
+    """A model whose weight rows reach far past the match end (legal via
+    the model schema: weight arrays longer than the window span) must
+    widen the packing separator accordingly — and stay byte-identical
+    to the general path on packed short lines."""
+    from vaporetto_tpu.models.model import Model, NgramData
+    from vaporetto_tpu.serving import LeanServer, pack_separator
+
+    model = Model(
+        char_ngram_model=[
+            NgramData("猫", [100] * 14),  # reach = -3 + 13 = +10 gaps
+            NgramData("火", [-50, 60, -70]),
+        ],
+        type_ngram_model=[NgramData(bytes([5]), [5, -5, 5, -5])],
+        dict_model=[],
+        bias=-20,
+        char_window_size=3,
+        type_window_size=3,
+    )
+    pred = Predictor(model)
+    server = LeanServer(pred, batch_lines=64)
+    assert server.pack and server._sep >= 10
+    rng = np.random.default_rng(31)
+    pool = "猫火だ山川"
+    lines = [
+        "".join(pool[i] for i in rng.integers(0, len(pool),
+                                              rng.integers(1, 12)))
+        for _ in range(120)
+    ]
+    want = general_path(pred, lines)
+    got = lean_path(pred, lines, batch_lines=64)
+    assert got == want
