@@ -973,6 +973,31 @@ def _measure() -> int:
     else:
         print(f"phase: lean tag e2e skipped ({remaining:.0f}s left < 200s)",
               file=sys.stderr, flush=True)
+
+    # ---- whole-CLI with the DEVICE engine forced (VERDICT r4 #1a) ------
+    # the auto-routed CLI phase correctly picks host on this degraded
+    # tunnel, which left round 4's record with no device-engine CLI row
+    # at all; this phase forces --backend device in a fresh subprocess so
+    # the captured record carries the device engine's wall-clock contract
+    # number (reference predict/src/main.rs:124,183-185) whatever auto
+    # decides. Runs LAST: it pays its own first-readback tax and may eat
+    # the entire remaining budget without costing any earlier field.
+    remaining = deadline - (time.monotonic() - t_start)
+    if remaining > 360:
+        print(f"phase: e2e CLI device engine ({remaining:.0f}s budget)",
+              file=sys.stderr, flush=True)
+        try:
+            extra["e2e_cli_device_mchars_per_s"] = round(
+                _measure_e2e_cli(model_path, timeout=remaining - 30,
+                                 extra_args=("--backend", "device")), 2
+            )
+        except Exception as e:
+            print(f"device-engine CLI e2e unavailable: {e}",
+                  file=sys.stderr)
+        _emit(mb_per_sec, chars_per_sec, extra)
+    else:
+        print(f"phase: e2e CLI device skipped ({remaining:.0f}s left "
+              "< 360s)", file=sys.stderr, flush=True)
     return 0
 
 

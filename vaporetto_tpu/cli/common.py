@@ -48,9 +48,10 @@ BACKEND_HELP = (
 
 
 def build_predictor(model, predict_tags: bool, backend_flag: str,
-                    need_device: bool = False):
+                    need_device: bool = False, bulk_hint=None):
     """Construct a Predictor, resolving ``--backend auto`` to the faster
-    engine for this machine (see utils/routing.py)."""
+    engine for this machine and input size (see utils/routing.py);
+    ``bulk_hint`` = upper bound on input chars (None = unknown)."""
     from ..predictor import Predictor
     from ..utils.routing import resolve_backend
 
@@ -60,7 +61,8 @@ def build_predictor(model, predict_tags: bool, backend_flag: str,
     )
     if backend_flag == "auto":
         p.backend = resolve_backend(
-            "auto", p._host() is not None, need_device=need_device
+            "auto", p._host() is not None, need_device=need_device,
+            bulk_hint=bulk_hint,
         )
     return p
 

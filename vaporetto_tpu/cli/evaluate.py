@@ -75,7 +75,19 @@ def main(argv: Optional[List[str]] = None) -> int:
 
     print("Loading model file...", file=sys.stderr)
     model = Model.read(args.model)
-    predictor = build_predictor(model, args.predict_tags, args.backend)
+    from ..utils.routing import input_size_hint
+
+    if args.input is not None:
+        try:
+            import os as _os
+
+            hint = _os.path.getsize(args.input)
+        except OSError:
+            hint = None
+    else:
+        hint = input_size_hint(sys.stdin.buffer)
+    predictor = build_predictor(model, args.predict_tags, args.backend,
+                                bulk_hint=hint)
 
     print("Start tokenization", file=sys.stderr)
     # Streaming accumulation: the confusion/word counts are additive, so

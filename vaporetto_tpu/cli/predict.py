@@ -104,15 +104,21 @@ def _dispatch_modes(args) -> int:
 
     print("Loading model file...", file=sys.stderr)
     model = Model.read(args.model)
-    predictor = build_predictor(model, args.predict_tags, args.backend,
-                                need_device=bool(args.dp))
+    # --input/--output are honored in single-process mode too
+    in_b = open(args.input, "rb") if args.input else None
+    from ..utils.routing import input_size_hint
+
+    predictor = build_predictor(
+        model, args.predict_tags, args.backend,
+        need_device=bool(args.dp),
+        bulk_hint=input_size_hint(in_b if in_b is not None
+                                  else sys.stdin.buffer),
+    )
     args.backend = predictor.backend  # resolved engine for the lean router
     if args.tag_scores:
         predictor.store_tag_scores(True)
 
     print("Start tokenization", file=sys.stderr)
-    # --input/--output are honored in single-process mode too
-    in_b = open(args.input, "rb") if args.input else None
     out = open(args.output, "wb") if args.output else sys.stdout.buffer
     start = time.perf_counter()
 
