@@ -949,6 +949,8 @@ def _measure() -> int:
             reps = 2
             lean_t = LeanServer(predt, tags=True, batch_lines=B_SMALL)
             lean_t.run(io.BytesIO(blob_t), io.BytesIO())  # warm-up
+            for k in lean_t.stats:  # reset after warm-up
+                lean_t.stats[k] = type(lean_t.stats[k])()
             t0 = time.perf_counter()
             for _ in range(reps):
                 lean_t.run(io.BytesIO(blob_t), io.BytesIO())
@@ -956,6 +958,19 @@ def _measure() -> int:
             extra["e2e_tags_steady_mchars_per_s"] = round(
                 n_chars_t * reps / dt / 1e6, 2
             )
+            # captured per-stage breakdown (VERDICT r4 #3): where the
+            # tag path's wall time goes — dispatch count, readback
+            # bytes/seconds, native detok seconds; the unaccounted
+            # remainder is dispatch/tensorize/grouping host work
+            st = lean_t.stats
+            extra["tag_breakdown"] = {
+                "total_s": round(dt, 2),
+                "dispatches": st["dispatches"],
+                "packed_dispatches": st["packed_dispatches"],
+                "readback_mb": round(st["readback_bytes"] / 1e6, 1),
+                "t_readback_s": round(st["t_readback_s"], 2),
+                "t_detok_s": round(st["t_detok_s"], 2),
+            }
             # boundary-only e2e over the SAME corpus through the shipped
             # packed path, so the tag-path cost ratio is apples-to-apples
             lean_b = LeanServer(pred, batch_lines=B_SMALL)

@@ -781,6 +781,117 @@ def test_packed_tags_match_general():
     assert sink.getvalue() == want
 
 
+class TestPackedScoresAndRich:
+    """Round 5: packing covers EVERY lean flag set — --scores and the
+    rich combinations ride the packed layout through the placement-aware
+    native writers (vt_detok_scores2 / vt_detok_tags2)."""
+
+    LINES = [
+        "まぁ社長は火星猫だ", "まぁ良いだろう", "", "ア",
+        "火星猫だ火星猫だ", "a b/c\\d", "ABC123オレンジ",
+    ] * 30
+
+    def test_packed_scores_match_general(self, bundled_pred):
+        from vaporetto_tpu.serving import LeanServer
+
+        server = LeanServer(bundled_pred, scores=True, batch_lines=32)
+        assert server.pack  # scores now pack
+        sink = io.BytesIO()
+        blob = ("\n".join(self.LINES) + "\n").encode("utf-8")
+        server.run(io.BytesIO(blob), sink)
+        assert server.stats["packed_dispatches"] > 0
+        want = general_path_scores(bundled_pred, self.LINES)
+        assert sink.getvalue() == want
+
+    def test_packed_scores_exact_integers(self, bundled_pred):
+        from vaporetto_tpu.serving import LeanServer
+
+        server = LeanServer(bundled_pred, scores=True, batch_lines=16)
+        sink = io.BytesIO()
+        lines = ["まぁ社長は火星猫だ"] * 50  # short: packed layout
+        blob = ("\n".join(lines) + "\n").encode("utf-8")
+        server.run(io.BytesIO(blob), sink)
+        got = sink.getvalue()
+        assert got.count("5:火星 -21407".encode()) == 50
+        assert got.count("6:星猫 32767".encode()) == 50
+
+    def _general_rich(self, lines, scores, tag_scores):
+        """General path with --predict-tags plus the diagnostic blocks
+        (mirrors cli/predict._emit_outputs)."""
+        pred = Predictor(
+            Model.read("/root/reference/resources/model.bin"), True
+        )
+        pred.store_tag_scores(tag_scores)
+        pre = KyteaFullwidthFilter()
+        out = []
+        for line in lines:
+            try:
+                s = Sentence.from_raw(pre.filter(line))
+            except Exception:
+                out.append("")
+                continue
+            pred.predict(s)
+            s.fill_tags()
+            orig = Sentence.from_raw(line)
+            orig.reset_tags(s.n_tags)
+            orig.boundaries = s.boundaries
+            orig.tags = list(s.tags)
+            block = [orig.write_tokenized_text()]
+            if scores:
+                text = s.as_raw_text()
+                sc = s.boundary_scores_list()
+                for i in range(len(text) - 1):
+                    block.append(f"{i}:{text[i]}{text[i + 1]} {sc[i]}")
+                block.append("")
+            if tag_scores:
+                for tok in s.iter_tokens():
+                    cells = [tok.surface()]
+                    for cands in tok.tag_candidates():
+                        cells.append(",".join(
+                            f"{c}:{v}" for c, v in cands
+                        ))
+                    block.append("\t".join(cells))
+                block.append("")
+            out.append("\n".join(block))
+        return ("\n".join(out) + "\n").encode("utf-8")
+
+    @pytest.mark.parametrize("scores,tag_scores", [
+        (True, False), (False, True), (True, True),
+    ])
+    def test_packed_rich_matches_general(self, scores, tag_scores):
+        from vaporetto_tpu.native import available
+        from vaporetto_tpu.serving import LeanServer
+
+        if not available():
+            pytest.skip("native library unavailable")
+        pred = Predictor(
+            Model.read("/root/reference/resources/model.bin"), True
+        )
+        server = LeanServer(
+            pred, tags=True, scores=scores, tag_scores=tag_scores,
+            batch_lines=32,
+        )
+        assert server.pack  # rich combos now pack
+        sink = io.BytesIO()
+        blob = ("\n".join(self.LINES) + "\n").encode("utf-8")
+        server.run(io.BytesIO(blob), sink)
+        assert server.stats["packed_dispatches"] > 0
+        want = self._general_rich(self.LINES, scores, tag_scores)
+        assert sink.getvalue() == want
+
+    def test_stats_breakdown_populated(self, bundled_pred):
+        from vaporetto_tpu.serving import LeanServer
+
+        server = LeanServer(bundled_pred, batch_lines=16)
+        sink = io.BytesIO()
+        blob = ("\n".join(self.LINES) + "\n").encode("utf-8")
+        server.run(io.BytesIO(blob), sink)
+        st = server.stats
+        assert st["dispatches"] >= 1
+        assert st["readback_bytes"] > 0
+        assert st["t_readback_s"] >= 0.0 and st["t_detok_s"] >= 0.0
+
+
 class TestFuzzMixedLengths:
     """Fuzz the packed/unpacked group splitting: line lengths straddle
     PACK_MAX_LINE so every chunk mixes packed super-groups with classic

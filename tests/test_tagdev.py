@@ -39,7 +39,23 @@ def _device_tags(pred, texts, wsconst=()):
             cps[i, j] = ord(ch)
         lens[i] = len(t)
     fn = pred.serve_tags_fn(tuple(wsconst))
-    bnd, tid, choice = (np.asarray(x) for x in fn(cps, lens))
+    res = fn(cps, lens)
+    # round 5: boundaries arrive BIT-PACKED (8 gaps/byte); small models
+    # fuse tid+choice into one uint16 word, larger ones return narrow
+    # separate tensors
+    bits = np.asarray(res[0])
+    if fn.packed_tc:
+        w = np.asarray(res[1])
+        tid = (w & 0x7F).astype(np.int32) - 1
+        choice = np.stack(
+            [((w >> (7 + 4 * s)) & 0xF).astype(np.int32) - 1
+             for s in range(fn.n_tag_slots)],
+            axis=-1,
+        )
+    else:
+        tid = np.asarray(res[1])
+        choice = np.asarray(res[2])
+    bnd = np.unpackbits(bits, axis=1, bitorder="little")[:, : L - 1]
     out = []
     for i, t in enumerate(texts):
         n = len(t)
@@ -179,12 +195,12 @@ class TestShardedTagKernel:
             for j, ch in enumerate(t):
                 cps[i, j] = ord(ch)
             lens[i] = len(t)
-        bnd, tid, choice = (np.asarray(x) for x in fn(cps, lens))
+        sharded = [np.asarray(x) for x in fn(cps, lens)]
         fn1 = pred.serve_tags_fn(())
-        b1, t1, c1 = (np.asarray(x) for x in fn1(cps, lens))
-        assert np.array_equal(bnd, b1)
-        assert np.array_equal(tid, t1)
-        assert np.array_equal(choice, c1)
+        single = [np.asarray(x) for x in fn1(cps, lens)]
+        assert len(sharded) == len(single)
+        for a, b in zip(sharded, single):
+            assert np.array_equal(a, b)
 
 
 class TestPackingLimits:

@@ -228,6 +228,65 @@ def _load() -> Optional[ctypes.CDLL]:
             ctypes.c_int64,                   # out_cap
             ctypes.c_int32,                   # n_threads
         ]
+    if hasattr(lib, "vt_detok_scores2"):
+        lib.vt_detok_scores2.restype = ctypes.c_int64
+        lib.vt_detok_scores2.argtypes = [
+            ctypes.POINTER(ctypes.c_uint8),   # utf8
+            ctypes.POINTER(ctypes.c_int64),   # starts
+            ctypes.POINTER(ctypes.c_int64),   # ends
+            ctypes.c_int64,                   # n_lines
+            ctypes.POINTER(ctypes.c_uint8),   # bits
+            ctypes.c_int32,                   # bytes_per_row
+            ctypes.POINTER(ctypes.c_int32),   # rows_of (nullable)
+            ctypes.POINTER(ctypes.c_int32),   # cols_of (nullable)
+            ctypes.POINTER(ctypes.c_int32),   # counts
+            ctypes.POINTER(ctypes.c_uint16),  # cps16
+            ctypes.c_int32,                   # L
+            ctypes.POINTER(ctypes.c_int32),   # scores
+            ctypes.c_int32,                   # Lm1
+            ctypes.POINTER(ctypes.c_uint8),   # out
+            ctypes.c_int64,                   # out_cap
+            ctypes.c_int32,                   # n_threads
+        ]
+    if hasattr(lib, "vt_detok_tags2"):
+        lib.vt_detok_tags2.restype = ctypes.c_int64
+        lib.vt_detok_tags2.argtypes = [
+            ctypes.POINTER(ctypes.c_uint8),   # utf8
+            ctypes.POINTER(ctypes.c_int64),   # starts
+            ctypes.POINTER(ctypes.c_int64),   # ends
+            ctypes.c_int64,                   # n_lines
+            ctypes.POINTER(ctypes.c_uint8),   # bits
+            ctypes.c_int32,                   # bytes_per_row
+            ctypes.POINTER(ctypes.c_int32),   # rows_of (nullable)
+            ctypes.POINTER(ctypes.c_int32),   # cols_of (nullable)
+            ctypes.POINTER(ctypes.c_int32),   # counts
+            ctypes.c_void_p,                  # tid (int32/int16/int8)
+            ctypes.c_int32,                   # tid_kind
+            ctypes.c_int64,                   # L (tid/choice row width)
+            ctypes.POINTER(ctypes.c_int8),    # choice
+            ctypes.c_int32,                   # n_slots
+            ctypes.POINTER(ctypes.c_int64),   # ent_start
+            ctypes.POINTER(ctypes.c_int32),   # ent_base
+            ctypes.POINTER(ctypes.c_int32),   # ent_ccol
+            ctypes.POINTER(ctypes.c_uint8),   # pool
+            ctypes.POINTER(ctypes.c_int64),   # pool_off
+            ctypes.c_int64,                   # max_tag_bytes
+            ctypes.POINTER(ctypes.c_uint16),  # cps16 (nullable)
+            ctypes.POINTER(ctypes.c_int32),   # gap_scores (nullable)
+            ctypes.c_int32,                   # Lm1
+            ctypes.POINTER(ctypes.c_int32),   # tag_scores (nullable)
+            ctypes.c_int32,                   # C
+            ctypes.POINTER(ctypes.c_int64),   # ts_start (nullable)
+            ctypes.POINTER(ctypes.c_int32),   # ts_base
+            ctypes.POINTER(ctypes.c_int32),   # ts_cnt
+            ctypes.POINTER(ctypes.c_int32),   # ts_koff
+            ctypes.POINTER(ctypes.c_uint8),   # ts_pool
+            ctypes.POINTER(ctypes.c_int64),   # ts_pool_off
+            ctypes.c_int64,                   # ts_max_bytes
+            ctypes.POINTER(ctypes.c_uint8),   # out
+            ctypes.c_int64,                   # out_cap
+            ctypes.c_int32,                   # n_threads
+        ]
     lib.vt_extr_new.restype = ctypes.c_void_p
     lib.vt_extr_new.argtypes = [
         ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
@@ -1570,4 +1629,234 @@ def detok_bits_native(
         return None
     if scratch is not None:
         return memoryview(out)[:written]
+    return out[:written].tobytes()
+
+
+class TagScoresPlan:
+    """Host emission plan for the native ``--tag-scores`` block
+    (vt_detok_tags2): per token id, ALL slots in order, each with its
+    UNESCAPED candidate pool range, candidate count, and score-column
+    offset into the class-concatenated tag score row (the reference's
+    print_tag_scores, predict/src/main.rs:76-91; column layout
+    model.rs:17-38 — only multi-candidate slots own columns)."""
+
+    def __init__(self, tag_meta):
+        pool: list = []
+        pool_off = [0]
+
+        def add_pool(b: bytes) -> int:
+            pool.append(b)
+            pool_off.append(pool_off[-1] + len(b))
+            return len(pool) - 1
+
+        n_tokens = len(tag_meta.tags)
+        ts_start = np.zeros(n_tokens + 1, dtype=np.int64)
+        base: list = []
+        cnt: list = []
+        koff: list = []
+        self.max_bytes = 0
+        for tid, slots in enumerate(tag_meta.tags):
+            k = 0
+            tok_bytes = 0
+            for cands in slots:
+                first = len(pool)
+                for c in cands:
+                    add_pool(c.encode("utf-8"))
+                base.append(first)
+                cnt.append(len(cands))
+                koff.append(k)
+                if len(cands) == 1:
+                    tok_bytes += 1 + (pool_off[-1] - pool_off[first]) + 2
+                else:
+                    k += len(cands)
+                    tok_bytes += 1 + sum(
+                        (pool_off[first + j + 1] - pool_off[first + j])
+                        + 13
+                        for j in range(len(cands))
+                    )
+            ts_start[tid + 1] = len(base)
+            self.max_bytes = max(self.max_bytes, tok_bytes)
+        self.start = ts_start
+        self.base = np.asarray(base or [0], dtype=np.int32)
+        self.cnt = np.asarray(cnt or [0], dtype=np.int32)
+        self.koff = np.asarray(koff or [0], dtype=np.int32)
+        self.pool = np.frombuffer(
+            b"".join(pool) or b"\x00", dtype=np.uint8
+        )
+        self.pool_off = np.asarray(pool_off, dtype=np.int64)
+
+
+def detok_tags2_available() -> bool:
+    lib = _load()
+    return lib is not None and hasattr(lib, "vt_detok_tags2")
+
+
+def detok_scores2_native(
+    blob: np.ndarray,  # uint8 ORIGINAL UTF-8 bytes
+    starts: np.ndarray,  # int64 (n_lines,)
+    ends: np.ndarray,  # int64 (n_lines,)
+    bits: np.ndarray,  # uint8 (B, bytes_per_row) gap bits
+    counts: np.ndarray,  # int32 per-line char counts
+    cps16: np.ndarray,  # uint16 (B, L) normalized device rows
+    scores: np.ndarray,  # int32 (B, Lm1) raw gap scores
+    rows_of: Optional[np.ndarray] = None,
+    cols_of: Optional[np.ndarray] = None,
+    n_threads: int = 0,
+) -> Optional[bytes]:
+    """Placement-aware ``--scores`` writer (native vt_detok_scores2):
+    tokenized line + per-gap score block per line, reading boundaries
+    as bit rows and codepoints/scores at per-line (row, col) placement
+    (the packed short-line layout; NULL placement = line i at row i)."""
+    lib = _load()
+    if lib is None or not hasattr(lib, "vt_detok_scores2"):
+        return None
+    n = len(starts)
+    starts = np.ascontiguousarray(starts, dtype=np.int64)
+    ends = np.ascontiguousarray(ends, dtype=np.int64)
+    bits = np.ascontiguousarray(bits, dtype=np.uint8)
+    counts = np.ascontiguousarray(counts, dtype=np.int32)
+    cps16 = np.ascontiguousarray(cps16, dtype=np.uint16)
+    scores = np.ascontiguousarray(scores, dtype=np.int32)
+    total = int((ends - starts).sum())
+    N = int(counts.sum())
+    cap = 2 * total + N * 31 + n * 4 + 64
+    out = np.empty(cap, dtype=np.uint8)
+    buf = blob if blob.size else np.zeros(1, dtype=np.uint8)
+    U8P = ctypes.POINTER(ctypes.c_uint8)
+    I32P = ctypes.POINTER(ctypes.c_int32)
+    I64P = ctypes.POINTER(ctypes.c_int64)
+    U16P = ctypes.POINTER(ctypes.c_uint16)
+    if rows_of is not None:
+        rows_of = np.ascontiguousarray(rows_of, dtype=np.int32)
+        cols_of = np.ascontiguousarray(cols_of, dtype=np.int32)
+    written = lib.vt_detok_scores2(
+        buf.ctypes.data_as(U8P),
+        starts.ctypes.data_as(I64P),
+        ends.ctypes.data_as(I64P),
+        n,
+        bits.ctypes.data_as(U8P),
+        bits.shape[1] if bits.ndim == 2 else 0,
+        rows_of.ctypes.data_as(I32P) if rows_of is not None else None,
+        cols_of.ctypes.data_as(I32P) if cols_of is not None else None,
+        counts.ctypes.data_as(I32P),
+        cps16.ctypes.data_as(U16P),
+        cps16.shape[1],
+        scores.ctypes.data_as(I32P),
+        scores.shape[1],
+        out.ctypes.data_as(U8P),
+        cap,
+        n_threads,
+    )
+    if written < 0:
+        return None
+    return out[:written].tobytes()
+
+
+def detok_tags2_native(
+    blob: np.ndarray,  # uint8 ORIGINAL UTF-8 bytes
+    starts: np.ndarray,  # int64 (n_lines,)
+    ends: np.ndarray,  # int64 (n_lines,)
+    bits: np.ndarray,  # uint8 (B, bytes_per_row) gap bits
+    counts: np.ndarray,  # int32 per-line char counts
+    tid: np.ndarray,  # (B, L) int32/int16/int8 token ids
+    choice: np.ndarray,  # int8 (B, L, n_slots)
+    plan: TagEmitPlan,
+    rows_of: Optional[np.ndarray] = None,
+    cols_of: Optional[np.ndarray] = None,
+    cps16: Optional[np.ndarray] = None,  # needed for either block
+    gap_scores: Optional[np.ndarray] = None,  # int32 (B, Lm1)
+    tag_scores: Optional[np.ndarray] = None,  # int32 (B, L, C)
+    ts_plan: Optional["TagScoresPlan"] = None,
+    n_threads: int = 0,
+) -> Optional[bytes]:
+    """Tag-aware tokenized writer v2 (native vt_detok_tags2): bit-packed
+    boundaries, per-line placement, narrow tid dtypes, and the optional
+    native ``--scores`` / ``--tag-scores`` diagnostic blocks."""
+    lib = _load()
+    if lib is None or not hasattr(lib, "vt_detok_tags2"):
+        return None
+    n = len(starts)
+    starts = np.ascontiguousarray(starts, dtype=np.int64)
+    ends = np.ascontiguousarray(ends, dtype=np.int64)
+    bits = np.ascontiguousarray(bits, dtype=np.uint8)
+    counts = np.ascontiguousarray(counts, dtype=np.int32)
+    tid = np.ascontiguousarray(tid)
+    kind = {np.dtype(np.int32): 0, np.dtype(np.int16): 1,
+            np.dtype(np.int8): 2}.get(tid.dtype)
+    if kind is None:
+        tid = np.ascontiguousarray(tid, dtype=np.int32)
+        kind = 0
+    choice = np.ascontiguousarray(choice, dtype=np.int8)
+    total = int((ends - starts).sum())
+    N = int(counts.sum())
+    per_char = 1 + plan.max_tag_bytes
+    extra = 2
+    if gap_scores is not None:
+        per_char += 30
+        extra += 2
+    if tag_scores is not None:
+        if ts_plan is None:
+            raise ValueError("tag_scores needs a TagScoresPlan")
+        per_char += 4 + ts_plan.max_bytes + 1
+        extra += 2
+    cap = 2 * total + N * per_char + n * extra + plan.max_tag_bytes + 64
+    out = np.empty(cap, dtype=np.uint8)
+    buf = blob if blob.size else np.zeros(1, dtype=np.uint8)
+    U8P = ctypes.POINTER(ctypes.c_uint8)
+    I8P = ctypes.POINTER(ctypes.c_int8)
+    I32P = ctypes.POINTER(ctypes.c_int32)
+    I64P = ctypes.POINTER(ctypes.c_int64)
+    U16P = ctypes.POINTER(ctypes.c_uint16)
+    if rows_of is not None:
+        rows_of = np.ascontiguousarray(rows_of, dtype=np.int32)
+        cols_of = np.ascontiguousarray(cols_of, dtype=np.int32)
+    if cps16 is not None:
+        cps16 = np.ascontiguousarray(cps16, dtype=np.uint16)
+    if gap_scores is not None:
+        gap_scores = np.ascontiguousarray(gap_scores, dtype=np.int32)
+    if tag_scores is not None:
+        tag_scores = np.ascontiguousarray(tag_scores, dtype=np.int32)
+    written = lib.vt_detok_tags2(
+        buf.ctypes.data_as(U8P),
+        starts.ctypes.data_as(I64P),
+        ends.ctypes.data_as(I64P),
+        n,
+        bits.ctypes.data_as(U8P),
+        bits.shape[1] if bits.ndim == 2 else 0,
+        rows_of.ctypes.data_as(I32P) if rows_of is not None else None,
+        cols_of.ctypes.data_as(I32P) if cols_of is not None else None,
+        counts.ctypes.data_as(I32P),
+        tid.ctypes.data_as(ctypes.c_void_p),
+        kind,
+        tid.shape[1],
+        choice.ctypes.data_as(I8P),
+        choice.shape[2],
+        plan.ent_start.ctypes.data_as(I64P),
+        plan.ent_base.ctypes.data_as(I32P),
+        plan.ent_ccol.ctypes.data_as(I32P),
+        plan.pool.ctypes.data_as(U8P),
+        plan.pool_off.ctypes.data_as(I64P),
+        plan.max_tag_bytes,
+        cps16.ctypes.data_as(U16P) if cps16 is not None else None,
+        (gap_scores.ctypes.data_as(I32P)
+         if gap_scores is not None else None),
+        gap_scores.shape[1] if gap_scores is not None else 0,
+        (tag_scores.ctypes.data_as(I32P)
+         if tag_scores is not None else None),
+        tag_scores.shape[2] if tag_scores is not None else 0,
+        (ts_plan.start.ctypes.data_as(I64P)
+         if ts_plan is not None else None),
+        ts_plan.base.ctypes.data_as(I32P) if ts_plan is not None else None,
+        ts_plan.cnt.ctypes.data_as(I32P) if ts_plan is not None else None,
+        ts_plan.koff.ctypes.data_as(I32P) if ts_plan is not None else None,
+        ts_plan.pool.ctypes.data_as(U8P) if ts_plan is not None else None,
+        (ts_plan.pool_off.ctypes.data_as(I64P)
+         if ts_plan is not None else None),
+        ts_plan.max_bytes if ts_plan is not None else 0,
+        out.ctypes.data_as(U8P),
+        cap,
+        n_threads,
+    )
+    if written < 0:
+        return None
     return out[:written].tobytes()

@@ -574,4 +574,270 @@ int64_t vt_detok_tags(const uint8_t* utf8, const int64_t* starts,
   return w;
 }
 
+// ---------------------------------------------------------------------
+// Placement-aware lean detokenizers (round 5)
+//
+// The round-4 lean detokenizers assumed one line per device row with
+// byte boundaries and (for tags) int32 token ids; the packed short-line
+// layout then needed host-side fancy-index slicing plus dtype widening
+// before every call, and the tag readback carried full-width rows. The
+// v2 entry points below consume the device outputs DIRECTLY:
+//   * boundaries as little-endian bit rows (8 gaps/byte, 8x smaller
+//     readback), at per-line (row, col) placement (NULL = line i at
+//     (i, 0));
+//   * token ids at their native width (int32/int16/int8 as the model's
+//     token count allows);
+//   * optional --scores / --tag-scores diagnostic blocks emitted here
+//     instead of a per-line Python loop (reference print_scores /
+//     print_tag_scores, predict/src/main.rs:65-91).
+// ---------------------------------------------------------------------
+
+namespace {
+
+inline int bit_at(const uint8_t* brow, int64_t pos) {
+  return (brow[pos >> 3] >> (pos & 7)) & 1;
+}
+
+}  // namespace
+
+// Scores detokenizer v2: vt_detok_scores with bit-packed boundaries and
+// packed-layout placement. counts = per-line char counts (== lengths for
+// unpacked batches); cps16/scores are (B, L)/(B, Lm1) device-layout rows
+// and each line reads L-coordinates col..col+count-1.
+int64_t vt_detok_scores2(const uint8_t* utf8, const int64_t* starts,
+                         const int64_t* ends, int64_t n_lines,
+                         const uint8_t* bits, int32_t bytes_per_row,
+                         const int32_t* rows_of, const int32_t* cols_of,
+                         const int32_t* counts, const uint16_t* cps16,
+                         int32_t L, const int32_t* scores, int32_t Lm1,
+                         uint8_t* out, int64_t out_cap,
+                         int32_t n_threads) {
+  const int64_t per_gap = 30;
+  std::vector<int64_t> out_len(n_lines, 0);
+  std::vector<int64_t> out_start(n_lines + 1, 0);
+  for (int64_t line = 0; line < n_lines; ++line) {
+    int64_t nbytes = ends[line] - starts[line];
+    int64_t n = counts[line];
+    out_start[line + 1] =
+        out_start[line] + 2 * nbytes + n + 2 + n * per_gap;
+  }
+  if (out_start[n_lines] > out_cap) return -1;
+  auto work = [&](int64_t lo, int64_t hi) {
+    for (int64_t line = lo; line < hi; ++line) {
+      const uint8_t* p = utf8 + starts[line];
+      const uint8_t* end = utf8 + ends[line];
+      int64_t row = rows_of ? rows_of[line] : line;
+      int64_t base = cols_of ? cols_of[line] : 0;
+      const uint8_t* brow = bits + row * bytes_per_row;
+      int32_t n = counts[line];
+      uint8_t* o = out + out_start[line];
+      uint8_t* o0 = o;
+      int32_t ci = 0;
+      while (p < end) {
+        uint8_t byte = *p;
+        if ((byte & 0xC0) != 0x80) {
+          if (ci > 0 && ci < n && bit_at(brow, base + ci - 1)) *o++ = ' ';
+          ++ci;
+          if (byte == ' ' || byte == '/' || byte == '\\') *o++ = '\\';
+        }
+        *o++ = byte;
+        ++p;
+      }
+      *o++ = '\n';
+      if (n > 0) {  // empty lines have no Sentence -> no score block
+        const uint16_t* cp = cps16 + row * L + base;
+        const int32_t* sc = scores + row * Lm1 + base;
+        for (int32_t i = 0; i + 1 < n; ++i) {
+          o = put_int(o, i);
+          *o++ = ':';
+          o = put_utf8(o, cp[i]);
+          o = put_utf8(o, cp[i + 1]);
+          *o++ = ' ';
+          o = put_int(o, sc[i]);
+          *o++ = '\n';
+        }
+        *o++ = '\n';
+      }
+      out_len[line] = o - o0;
+    }
+  };
+  vt::parallel_rows(n_lines, n_threads, 256, work);
+  int64_t w = 0;
+  for (int64_t line = 0; line < n_lines; ++line) {
+    if (w != out_start[line])
+      std::memmove(out + w, out + out_start[line], out_len[line]);
+    w += out_len[line];
+  }
+  return w;
+}
+
+// Tag detokenizer v2. Beyond vt_detok_tags: bit-packed boundaries,
+// (row, col) placement, tid at native width (tid_kind 0/1/2 =
+// int32/int16/int8), and the optional diagnostic blocks of the rich
+// --predict-tags combinations emitted natively:
+//   * gap_scores != NULL: the --scores block (one "i:AB score" line per
+//     gap of the normalized line, then a blank line);
+//   * tag_scores != NULL: the --tag-scores block (one line per token:
+//     surface, then per slot a tab + either "cand:0" for single-
+//     candidate slots or "cand:score,..." over the class-concatenated
+//     score row; blank line after), plan arrays ts_*:
+//       ts_start[tid]..ts_start[tid+1]: one entry per slot (ALL slots);
+//       ts_base = UNESCAPED candidate pool index of the slot's first
+//       candidate; ts_cnt = candidate count; ts_koff = the slot's score
+//       column offset (prefix sum of counts over multi-candidate slots).
+// Empty lines (count 0) emit a bare line and no blocks (the general
+// path's from_raw("") error semantics).
+int64_t vt_detok_tags2(
+    const uint8_t* utf8, const int64_t* starts, const int64_t* ends,
+    int64_t n_lines, const uint8_t* bits, int32_t bytes_per_row,
+    const int32_t* rows_of, const int32_t* cols_of, const int32_t* counts,
+    const void* tid, int32_t tid_kind, int64_t L, const int8_t* choice,
+    int32_t n_slots, const int64_t* ent_start, const int32_t* ent_base,
+    const int32_t* ent_ccol, const uint8_t* pool, const int64_t* pool_off,
+    int64_t max_tag_bytes, const uint16_t* cps16, const int32_t* gap_scores,
+    int32_t Lm1, const int32_t* tag_scores, int32_t C,
+    const int64_t* ts_start, const int32_t* ts_base, const int32_t* ts_cnt,
+    const int32_t* ts_koff, const uint8_t* ts_pool,
+    const int64_t* ts_pool_off, int64_t ts_max_bytes, uint8_t* out,
+    int64_t out_cap, int32_t n_threads) {
+  const int64_t per_gap = 30;
+  std::vector<int64_t> out_len(n_lines, 0);
+  std::vector<int64_t> out_start(n_lines + 1, 0);
+  for (int64_t line = 0; line < n_lines; ++line) {
+    int64_t nbytes = ends[line] - starts[line];
+    int64_t n = counts[line];
+    int64_t row = rows_of ? rows_of[line] : line;
+    int64_t base = cols_of ? cols_of[line] : 0;
+    const uint8_t* brow = bits + row * bytes_per_row;
+    int64_t ntok = 1;
+    for (int64_t g = 0; g + 1 < n; ++g) ntok += bit_at(brow, base + g);
+    int64_t cap = 2 * nbytes + n + 1 + ntok * max_tag_bytes;
+    if (gap_scores) cap += n * per_gap + 2;
+    if (tag_scores)  // surfaces print NORMALIZED codepoints (<= 3 B/char)
+      cap += 3 * n + ntok * (ts_max_bytes + 1) + 2;
+    out_start[line + 1] = out_start[line] + cap;
+  }
+  if (out_start[n_lines] > out_cap) return -1;
+  auto tid_at = [&](int64_t row, int64_t col) -> int32_t {
+    int64_t idx = row * L + col;
+    switch (tid_kind) {
+      case 1:
+        return static_cast<const int16_t*>(tid)[idx];
+      case 2:
+        return static_cast<const int8_t*>(tid)[idx];
+      default:
+        return static_cast<const int32_t*>(tid)[idx];
+    }
+  };
+  auto work = [&](int64_t lo, int64_t hi) {
+    for (int64_t line = lo; line < hi; ++line) {
+      const uint8_t* p = utf8 + starts[line];
+      const uint8_t* end = utf8 + ends[line];
+      int64_t row = rows_of ? rows_of[line] : line;
+      int64_t base = cols_of ? cols_of[line] : 0;
+      const uint8_t* brow = bits + row * bytes_per_row;
+      int32_t n = counts[line];
+      uint8_t* o = out + out_start[line];
+      uint8_t* o0 = o;
+      int32_t ci = 0;
+      auto emit_tags = [&](int32_t last_char) {
+        int32_t t = tid_at(row, base + last_char);
+        if (t < 0) return;
+        for (int64_t ei = ent_start[t]; ei < ent_start[t + 1]; ++ei) {
+          *o++ = '/';
+          int32_t eb = ent_base[ei];
+          if (eb < 0) continue;  // empty-candidate slot: bare '/'
+          int32_t ccol = ent_ccol[ei];
+          int64_t k = eb;
+          if (ccol >= 0) {
+            int8_t ch =
+                choice[(row * L + base + last_char) * n_slots + ccol];
+            if (ch > 0) k += ch;
+          }
+          int64_t plo = pool_off[k], phi = pool_off[k + 1];
+          std::memcpy(o, pool + plo, phi - plo);
+          o += phi - plo;
+        }
+      };
+      while (p < end) {
+        uint8_t byte = *p;
+        if ((byte & 0xC0) != 0x80) {  // char start
+          if (ci > 0 && ci < n && bit_at(brow, base + ci - 1)) {
+            emit_tags(ci - 1);
+            *o++ = ' ';
+          }
+          ++ci;
+          if (byte == ' ' || byte == '/' || byte == '\\') *o++ = '\\';
+        }
+        *o++ = byte;
+        ++p;
+      }
+      if (ci > 0) emit_tags(ci - 1);
+      *o++ = '\n';
+      if (n > 0 && gap_scores) {
+        const uint16_t* cp = cps16 + row * L + base;
+        const int32_t* sc = gap_scores + row * Lm1 + base;
+        for (int32_t i = 0; i + 1 < n; ++i) {
+          o = put_int(o, i);
+          *o++ = ':';
+          o = put_utf8(o, cp[i]);
+          o = put_utf8(o, cp[i + 1]);
+          *o++ = ' ';
+          o = put_int(o, sc[i]);
+          *o++ = '\n';
+        }
+        *o++ = '\n';
+      }
+      if (n > 0 && tag_scores) {
+        const uint16_t* cp = cps16 + row * L + base;
+        int32_t st = 0;
+        for (int32_t e = 0; e < n; ++e) {
+          bool is_end = (e == n - 1) || bit_at(brow, base + e);
+          if (!is_end) continue;
+          for (int32_t i = st; i <= e; ++i) o = put_utf8(o, cp[i]);
+          int32_t t = tid_at(row, base + e);
+          if (t >= 0) {
+            const int32_t* srow = tag_scores + (row * L + base + e) * C;
+            for (int64_t ei = ts_start[t]; ei < ts_start[t + 1]; ++ei) {
+              *o++ = '\t';
+              int32_t cnt = ts_cnt[ei];
+              int64_t pb = ts_base[ei];
+              if (cnt == 1) {
+                int64_t plo = ts_pool_off[pb], phi = ts_pool_off[pb + 1];
+                std::memcpy(o, ts_pool + plo, phi - plo);
+                o += phi - plo;
+                *o++ = ':';
+                *o++ = '0';
+              } else {
+                int32_t k = ts_koff[ei];
+                for (int32_t j = 0; j < cnt; ++j) {
+                  if (j) *o++ = ',';
+                  int64_t plo = ts_pool_off[pb + j];
+                  int64_t phi = ts_pool_off[pb + j + 1];
+                  std::memcpy(o, ts_pool + plo, phi - plo);
+                  o += phi - plo;
+                  *o++ = ':';
+                  o = put_int(o, srow[k + j]);
+                }
+              }
+            }
+          }
+          *o++ = '\n';
+          st = e + 1;
+        }
+        *o++ = '\n';
+      }
+      out_len[line] = o - o0;
+    }
+  };
+  vt::parallel_rows(n_lines, n_threads, 256, work);
+  int64_t w = 0;
+  for (int64_t line = 0; line < n_lines; ++line) {
+    if (w != out_start[line])
+      std::memmove(out + w, out + out_start[line], out_len[line]);
+    w += out_len[line];
+  }
+  return w;
+}
+
 }  // extern "C"

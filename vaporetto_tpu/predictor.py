@@ -426,23 +426,23 @@ class Predictor:
 
     def serve_scores_traced_fn(self, wsconst_types: Tuple[int, ...] = ()):
         """Lean serving variant that also returns the raw int32 gap
-        scores: ``fn(cps, lengths, tables) -> (boundaries int8 (B, L-1),
-        scores int32 (B, L-1))``.
+        scores: ``fn(cps, lengths, tables) -> (boundary bits uint8
+        (B, ceil((L-1)/8)), scores int32 (B, L-1))`` — boundaries
+        BIT-PACKED like :meth:`serve_traced_fn` (round 5; the native
+        scores writer consumes the bits directly, vt_detok_scores2).
 
         Backs the lean ``--scores`` path (reference predict
         main.rs:66-75): scores are the exact i32 totals of the exposed
         gaps (wsconst affects only the boundary labels, never the
-        scores); ~5 B/char readback instead of the 16 B/char general
+        scores); ~4.1 B/char readback instead of the 16 B/char general
         path.
         """
-        import jax.numpy as jnp
-
         serve = self._make_serve_core(wsconst_types)
         tables = self._serve_tables(wsconst_types)
 
         def fn(cps, lengths, tables):
             gaps, _, _, gap_scores, _, _ = serve(cps, lengths, tables)
-            return gaps.astype(jnp.int8), gap_scores
+            return _pack_gap_bits(gaps), gap_scores
 
         return fn, tables
 
@@ -501,8 +501,12 @@ class Predictor:
                              want_gap_scores: bool = False,
                              want_tag_scores: bool = False):
         """The unjitted lean tag-serving function and its table pytree:
-        ``fn(cps, lengths, tables) -> (boundaries int8 (B, L-1),
-        token_id int32 (B, L), choice int8 (B, L, n_slots))``.
+        ``fn(cps, lengths, tables) -> (boundary bits uint8
+        (B, ceil((L-1)/8)), token_id int8/int16/int32 (B, L),
+        choice int8 (B, L, n_slots))`` — boundaries BIT-PACKED and the
+        token ids at the narrowest dtype the model's token count allows
+        (round 5: the tag readback was the device tag path's dominant
+        transfer on slow links; vt_detok_tags2 consumes these directly).
 
         ``want_gap_scores`` appends the int32 per-gap boundary scores
         (the lean ``--scores --predict-tags`` combination, reference
@@ -575,6 +579,18 @@ class Predictor:
         n_tokens = dt.n_tokens
         S = dt.n_slots
         C = dt.n_classes
+        # small-model fused readback: (tid+1) | (choice0+1)<<7 |
+        # (choice1+1)<<11 in ONE uint16 per position — the tag payload
+        # drops from 3 B to 2 B per position, and on slow links the tag
+        # readback is the device tag path's dominant transfer. Applies
+        # when every field fits (token ids 7 bits, choices 4 bits each,
+        # <= 2 slots); larger models keep the separate tensors.
+        meta = c.tag_meta
+        max_cands = max(
+            (len(cands) for slots in meta.tags for cands in slots),
+            default=0,
+        )
+        packed_tc = n_tokens <= 126 and S <= 2 and max_cands <= 15
         # static probe metadata (python ints; see _build_predict_fn note)
         char_meta = [(t.shift, t.probe_len, t.rel) for t in dt.char_tabs]
         type_meta = [(t.shift, t.probe_len, t.rel) for t in dt.type_tabs]
@@ -713,17 +729,29 @@ class Predictor:
                 choices.append(
                     jnp.where((n >= 2) & (tid >= 0), idx, -1)
                 )
-            choice = jnp.stack(choices, axis=-1).astype(jnp.int8)
-            if n_tokens <= 32766:
-                # halve the tid readback (token ids fit int16; -1 = none)
-                tid = tid.astype(jnp.int16)
-            outs = [gaps.astype(jnp.int8), tid, choice]
+            if packed_tc:
+                w = tid + 1
+                for s_i in range(S):
+                    w = w | ((choices[s_i] + 1) << (7 + 4 * s_i))
+                outs = [_pack_gap_bits(gaps), w.astype(jnp.uint16)]
+            else:
+                choice = jnp.stack(choices, axis=-1).astype(jnp.int8)
+                if n_tokens <= 126:
+                    # shrink the tid readback to its information content
+                    # (token ids fit int8/int16; -1 = none) — on slow
+                    # links the tid transfer is the tag path's largest
+                    tid = tid.astype(jnp.int8)
+                elif n_tokens <= 32766:
+                    tid = tid.astype(jnp.int16)
+                outs = [_pack_gap_bits(gaps), tid, choice]
             if want_gap_scores:
                 outs.append(gap_scores)
             if want_tag_scores:
                 outs.append(sc)
             return tuple(outs)
 
+        fn.packed_tc = packed_tc
+        fn.n_tag_slots = S
         return fn, tables
 
     def serve_tags_fn(self, wsconst_types: Tuple[int, ...] = (),
@@ -745,11 +773,14 @@ class Predictor:
             vec_sh = NamedSharding(mesh, P(mesh_axis))
             rep = NamedSharding(mesh, P())
             table_sh = jax.tree.map(lambda _: rep, tables)
-            out_sh = [
-                batch_sh,
-                batch_sh,
-                NamedSharding(mesh, P(mesh_axis, None, None)),
-            ]
+            if fn.packed_tc:
+                out_sh = [batch_sh, batch_sh]
+            else:
+                out_sh = [
+                    batch_sh,
+                    batch_sh,
+                    NamedSharding(mesh, P(mesh_axis, None, None)),
+                ]
             if want_gap_scores:
                 out_sh.append(batch_sh)
             if want_tag_scores:
@@ -766,6 +797,8 @@ class Predictor:
         def wrapper(cps, lengths):
             return jitted(cps, lengths, tables)
 
+        wrapper.packed_tc = fn.packed_tc
+        wrapper.n_tag_slots = fn.n_tag_slots
         return wrapper
 
     def predict_raw_fn(self):

@@ -283,23 +283,46 @@ class LeanServer:
         self.fallback = fallback
         self.n_lines = 0
         self.n_chars = 0
+        #: per-run pipeline breakdown (the captured tag-path diagnosis,
+        #: VERDICT r4 #3): dispatch counts, device->host readback bytes
+        #: and seconds, native detok seconds
+        self.stats = {
+            "dispatches": 0, "packed_dispatches": 0, "fallback_lines": 0,
+            "readback_bytes": 0, "t_readback_s": 0.0, "t_detok_s": 0.0,
+        }
         # short-line packing: many lines per (B, PACK_L) device row with
         # codepoint-0 separator gaps, so ~10-char lines stop paying a
         # full padded row + per-line dispatch share each (the reference's
         # per-line loop has zero padding waste; this recovers that for
-        # batched device serving). Boundary-only, single-process device
-        # path for now: the tag kernel derives token spans from row
-        # lengths, scores need per-line codepoint rows, and a sharded
-        # batch dimension must stay divisible by the mesh.
-        self.pack = (
-            not self.rich and not scores
-            and mesh is None
-            and not host_engine
-        )
+        # batched device serving). Since round 5 EVERY device flag set
+        # packs — boundaries, tags, scores, the rich combinations, and
+        # sharded batches (the packed row count is rounded up to the
+        # mesh size) — because the native v2 detokenizers read results
+        # at per-line (row, col) placement directly. The host engine's
+        # sequential C++ scan has per-line semantics (separators would
+        # need host-side isolation), so it stays unpacked.
+        self.pack = not host_engine
+        self._mesh_div = int(mesh.devices.size) if mesh is not None else 1
+        from .native import detok_tags2_available
+
+        if not detok_tags2_available() and (tags or scores or self.rich):
+            # stale native lib without the placement-aware v2 writers:
+            # these paths fall back to dense per-line slicing, which
+            # only supports the unpacked layout
+            self.pack = False
         self._sep = pack_separator(predictor.compiled) if self.pack else 0
-        #: the device boundary kernel returns bit-packed gaps (8/byte);
-        #: the host engine and the scores/tags kernels return bytes
-        self.bits = not tags and not scores and not host_engine
+        self._ts_plan = None
+        if self.tag_scores:
+            from .native import TagScoresPlan
+
+            self._ts_plan = TagScoresPlan(predictor.compiled.tag_meta)
+        #: small-model fused tid+choice readback word (see
+        #: Predictor.serve_tags_traced_fn)
+        self._packed_tc = getattr(self.fn, "packed_tc", False)
+        self._n_tag_slots = getattr(self.fn, "n_tag_slots", 0)
+        #: every device kernel returns bit-packed gaps (8/byte) since
+        #: round 5; the host engine returns bytes
+        self.bits = not host_engine
 
     # ------------------------------------------------------------------
 
@@ -340,12 +363,12 @@ class LeanServer:
         res = self.fn(cps, lengths)
         self.n_lines += n_valid
         self.n_chars += int(lengths[:n_valid].sum())
-        host = (
-            (cps, lengths)
-            if (self.scores or self.grapheme or self.rich)
-            else None
-        )
-        return res, blob, starts[:n_valid], ends[:n_valid], host, None
+        self.stats["dispatches"] += 1
+        # cps/lengths are host-side numpy (the tensorizer's output);
+        # carrying them costs nothing and the v2 detokenizers use
+        # lengths as the per-line char counts
+        return res, blob, starts[:n_valid], ends[:n_valid], \
+            (cps, lengths), None
 
     def _pack_groups(self, counts: np.ndarray):
         """Split a chunk's lines into dispatch groups: contiguous runs
@@ -406,6 +429,8 @@ class LeanServer:
         col = (s_pos - row.astype(np.int64) * cap).astype(np.int32)
         n_rows = int(row[-1]) + 1 if len(row) else 1
         B = max(64, 1 << (n_rows - 1).bit_length())
+        if B % self._mesh_div:  # sharded batch: keep B divisible
+            B = -(-B // self._mesh_div) * self._mesh_div
         cps = tensorize16_packed_native(
             blob, starts, ends, row, col, B, PACK_L, self.norm_map
         )
@@ -415,134 +440,220 @@ class LeanServer:
         res = self.fn(cps, lengths)
         self.n_lines += n_valid
         self.n_chars += int(counts[:n_valid].sum())
-        host = (cps, lengths) if self.grapheme else None
-        packed = (row[:n_valid], col[:n_valid], max_chars)
-        return res, blob, starts[:n_valid], ends[:n_valid], host, packed
+        self.stats["dispatches"] += 1
+        self.stats["packed_dispatches"] += 1
+        packed = (row[:n_valid], col[:n_valid], max_chars,
+                  counts[:n_valid].astype(np.int32))
+        return res, blob, starts[:n_valid], ends[:n_valid], \
+            (cps, lengths), packed
 
     def _realize(self, pending, out) -> None:
+        import time as _time
+
+        from .native import detok_native
+
+        res, blob, starts, ends, host, packed = pending
+        n = len(starts)
+        st = self.stats
+        if packed is not None:
+            row, col, max_chars, counts = packed
+        else:
+            row = col = None
+            counts = host[1][:n] if host is not None else None
+        if not self.bits:  # host engine: dense byte rows, unpacked
+            self._realize_host(res, blob, starts, ends, host, n, out)
+            return
+        # ---- device engine: bit-packed gaps, optional placement ------
+        if self.tags:  # incl. the rich combinations
+            t0 = _time.perf_counter()
+            it = iter(res)
+            bits = np.asarray(next(it))
+            if self._packed_tc:
+                w = np.asarray(next(it))
+                tid = choice = None
+            else:
+                w = None
+                tid = np.asarray(next(it))
+                choice = np.asarray(next(it))
+            gap_sc = np.asarray(next(it)) if self.scores else None
+            tag_sc = np.asarray(next(it)) if self.tag_scores else None
+            st["t_readback_s"] += _time.perf_counter() - t0
+            st["readback_bytes"] += (
+                bits.nbytes
+                + (w.nbytes if w is not None
+                   else tid.nbytes + choice.nbytes)
+                + (gap_sc.nbytes if gap_sc is not None else 0)
+                + (tag_sc.nbytes if tag_sc is not None else 0)
+            )
+            if w is not None:
+                # small-model fused word: (tid+1) | (c0+1)<<7 |
+                # (c1+1)<<11 — unpack with three vectorized host ops
+                tid = (w & 0x7F).astype(np.int16) - 1
+                tid = tid.astype(np.int8)
+                S = self._n_tag_slots
+                cols = [
+                    ((w >> (7 + 4 * s)) & 0xF).astype(np.int16) - 1
+                    for s in range(S)
+                ]
+                choice = np.stack(cols, axis=-1).astype(np.int8)
+            data = self._detok_tags(
+                bits, tid, choice, gap_sc, tag_sc, blob, starts, ends,
+                host, n, row, col, counts,
+            )
+        elif self.scores:
+            t0 = _time.perf_counter()
+            bits_d, sc_d = res
+            bits = np.asarray(bits_d)
+            sc = np.asarray(sc_d)
+            st["t_readback_s"] += _time.perf_counter() - t0
+            st["readback_bytes"] += bits.nbytes + sc.nbytes
+            if self.grapheme:
+                bits = self._grapheme_bits(
+                    bits, host, bits.shape[0] if packed is not None else n
+                )
+            from .native import detok_scores2_native, detok_scores_native
+
+            t0 = _time.perf_counter()
+            data = detok_scores2_native(
+                blob, starts, ends, bits, counts, host[0], sc, row, col
+            )
+            if data is None and packed is None:
+                # stale native lib without v2: dense byte fallback
+                bnd = np.unpackbits(
+                    bits, axis=1, bitorder="little"
+                )[:, : sc.shape[1]]
+                data = detok_scores_native(
+                    blob, starts, ends, bnd[:n].astype(np.int8),
+                    host[0][:n], counts, sc[:n],
+                )
+            st["t_detok_s"] += _time.perf_counter() - t0
+        else:
+            from .native import detok_bits_native
+
+            t0 = _time.perf_counter()
+            raw = np.asarray(res)  # the one device->host readback
+            st["t_readback_s"] += _time.perf_counter() - t0
+            st["readback_bytes"] += raw.nbytes
+            if self.grapheme:
+                raw = self._grapheme_bits(
+                    raw, host, raw.shape[0] if packed is not None else n
+                )
+            t0 = _time.perf_counter()
+            if packed is not None:
+                data = detok_bits_native(
+                    blob, starts, ends, raw,
+                    max(max_chars - 1, 0), row, col,
+                    scratch=self._scratch,
+                )
+            else:
+                data = detok_bits_native(
+                    blob, starts, ends, raw[:n], raw.shape[1] * 8,
+                    scratch=self._scratch,
+                )
+            if data is None and packed is None:
+                # stale native lib without vt_detok_bits: byte fallback
+                bnd = np.unpackbits(raw, axis=1, bitorder="little")
+                data = detok_native(
+                    blob, starts, ends, bnd[:n].astype(np.int8),
+                    scratch=self._scratch,
+                )
+            st["t_detok_s"] += _time.perf_counter() - t0
+        if data is None:  # native lib raced away; should not happen
+            raise RuntimeError("native detokenizer unavailable")
+        out.write(data)
+
+    def _detok_tags(self, bits, tid, choice, gap_sc, tag_sc, blob,
+                    starts, ends, host, n, row, col, counts):
+        """Native tag emission (vt_detok_tags2): bit boundaries, narrow
+        tid, per-line placement, and the rich diagnostic blocks emitted
+        in C++ (byte-identical to the general path's ``_emit_outputs``
+        tail; reference print_scores/print_tag_scores, main.rs:65-91).
+        Falls back to the round-4 dense path on stale native libs
+        (unpacked layouts only — packing is disabled without v2)."""
+        import time as _time
+
+        from .native import detok_tags2_native
+
+        st = self.stats
+        t0 = _time.perf_counter()
+        data = detok_tags2_native(
+            blob, starts, ends, bits, counts, tid, choice, self.plan,
+            rows_of=row, cols_of=col,
+            cps16=host[0] if (gap_sc is not None or tag_sc is not None)
+            else None,
+            gap_scores=gap_sc, tag_scores=tag_sc, ts_plan=self._ts_plan,
+        )
+        st["t_detok_s"] += _time.perf_counter() - t0
+        if data is not None:
+            return data
+        # stale-lib fallback: dense bytes + int32, Python block formatting
+        bnd = np.unpackbits(bits, axis=1, bitorder="little")
+        bnd = bnd[:, : tid.shape[1] - 1]
+        if self.rich:
+            return self._format_rich_py(
+                bnd, tid, choice, gap_sc, tag_sc, blob, starts, ends,
+                host, n,
+            )
+        from .native import detok_tags_native
+
+        return detok_tags_native(
+            blob, starts, ends, bnd[:n].astype(np.int8),
+            tid[:n].astype(np.int32), choice[:n], self.plan,
+        )
+
+    def _realize_host(self, res, blob, starts, ends, host, n, out) -> None:
+        """Host-engine realization: dense byte boundaries, unpacked."""
+        import time as _time
+
         from .native import (
             detok_native,
             detok_scores_native,
             detok_tags_native,
         )
 
-        res, blob, starts, ends, host, packed = pending
-        n = len(starts)
-        if self.rich:
-            self._realize_rich(res, blob, starts, ends, host, n, out)
-            return
+        st = self.stats
+        t0 = _time.perf_counter()
         if self.scores:
-            bnd_d, sc_d = res
-            if self.grapheme:
-                bnd = np.array(bnd_d)  # writable copy for the host mask
-                self._apply_grapheme(bnd, host, n)
-            else:
-                bnd = np.asarray(bnd_d)
-            sc = np.asarray(sc_d)
+            bnd, sc = res
             cps_h, lengths_h = host
+            bnd = np.asarray(bnd)
+            if self.grapheme:
+                bnd = np.array(bnd)  # writable copy for the host mask
+                self._apply_grapheme(bnd, host, n)
             data = detok_scores_native(
-                blob, starts, ends, bnd[:n], cps_h[:n], lengths_h[:n],
-                sc[:n],
+                blob, starts, ends, bnd[:n], cps_h[:n],
+                lengths_h[:n], np.asarray(sc)[:n],
             )
         elif self.tags:
-            bnd_d, tid_d, choice_d = res
-            bnd = np.asarray(bnd_d)
-            tid = np.asarray(tid_d)
-            choice = np.asarray(choice_d)
-            if packed is not None:
-                # per-line slices out of the packed rows (the kernel's
-                # separator-aware span derivation guarantees tokens
-                # never cross line junctions)
-                row, col, max_chars = packed
-                W = max(max_chars, 2)
-                pcols = col[:, None].astype(np.int64) + np.arange(
-                    W, dtype=np.int64
-                )
-                r2 = row[:, None]
-                tid = tid[r2, np.minimum(pcols, tid.shape[1] - 1)]
-                choice = choice[
-                    r2, np.minimum(pcols, choice.shape[1] - 1), :
-                ]
-                bnd = bnd[
-                    r2, np.minimum(pcols[:, : W - 1], bnd.shape[1] - 1)
-                ]
-                data = detok_tags_native(
-                    blob, starts, ends, bnd, tid, choice, self.plan
-                )
-            else:
-                data = detok_tags_native(
-                    blob, starts, ends, bnd[:n], tid[:n], choice[:n],
-                    self.plan,
-                )
+            bnd, tid, choice = res
+            data = detok_tags_native(
+                blob, starts, ends, np.asarray(bnd)[:n],
+                np.asarray(tid)[:n], np.asarray(choice)[:n], self.plan,
+            )
         else:
-            from .native import detok_bits_native
-
-            raw = np.asarray(res)  # the one device->host readback
-            if self.bits and not self.grapheme:
-                # fast lane: the native detokenizer reads the bit-packed
-                # gaps directly, with per-line (row, col) placement for
-                # packed batches
-                if packed is not None:
-                    row, col, max_chars = packed
-                    data = detok_bits_native(
-                        blob, starts, ends, raw,
-                        max(max_chars - 1, 0), row, col,
-                        scratch=self._scratch,
-                    )
-                else:
-                    data = detok_bits_native(
-                        blob, starts, ends, raw[:n], raw.shape[1] * 8,
-                        scratch=self._scratch,
-                    )
-                if data is not None:
-                    out.write(data)
-                    return
-                # stale native lib without vt_detok_bits: byte fallback
-            if self.bits:
-                bnd = np.unpackbits(raw, axis=1, bitorder="little")
-            elif self.grapheme:
-                bnd = np.array(raw)  # writable copy for the host mask
-            else:
-                bnd = raw
+            bnd = np.asarray(res)
             if self.grapheme:
-                # packed rows: the mask operates in packed coordinates
-                # (codepoint 0 is a Control cluster-breaker, so clusters
-                # never span the separator gaps); unpack happens after
-                self._apply_grapheme(
-                    bnd, host, bnd.shape[0] if packed is not None else n
-                )
-            if packed is not None:
-                row, col, max_chars = packed
-                gcols = np.minimum(
-                    col[:, None].astype(np.int64)
-                    + np.arange(max(max_chars - 1, 1), dtype=np.int64),
-                    bnd.shape[1] - 1,
-                )
-                bnd = bnd[row[:, None], gcols]
-            data = detok_native(blob, starts, ends, bnd[:n].astype(np.int8),
-                                scratch=self._scratch)
-        if data is None:  # native lib raced away; should not happen
+                bnd = np.array(bnd)
+                self._apply_grapheme(bnd, host, n)
+            data = detok_native(
+                blob, starts, ends, bnd[:n].astype(np.int8),
+                scratch=self._scratch,
+            )
+        st["t_detok_s"] += _time.perf_counter() - t0
+        if data is None:
             raise RuntimeError("native detokenizer unavailable")
         out.write(data)
 
-    def _realize_rich(self, res, blob, starts, ends, host, n, out) -> None:
-        """--predict-tags with --scores and/or --tag-scores: the device
-        tag kernel's extra outputs are formatted host-side per line,
-        byte-identical to the general path's ``_emit_outputs`` tail
-        (reference print_scores/print_tag_scores, main.rs:65-91). The
-        tokenized tagged lines still come from the native detokenizer;
-        only the diagnostic blocks are Python-formatted."""
+    def _format_rich_py(self, bnd, tid, choice, gap_sc, tag_sc, blob,
+                        starts, ends, host, n) -> bytes:
+        """Python fallback for the rich diagnostic blocks (stale native
+        lib only; the shipped path is native, vt_detok_tags2)."""
         from .native import detok_tags_native
 
-        it = iter(res)
-        bnd = np.asarray(next(it))
-        tid = np.asarray(next(it))
-        choice = np.asarray(next(it))
-        gap_sc = np.asarray(next(it)) if self.scores else None
-        tag_sc = np.asarray(next(it)) if self.tag_scores else None
         cps_h, lens_h = host
         data = detok_tags_native(
-            blob, starts, ends, bnd[:n], tid[:n], choice[:n], self.plan
+            blob, starts, ends, bnd[:n].astype(np.int8),
+            tid[:n].astype(np.int32), choice[:n], self.plan
         )
         if data is None:
             raise RuntimeError("native detokenizer unavailable")
@@ -594,7 +705,16 @@ class LeanServer:
                     parts.append(b"\n")
                     st = e + 1
                 parts.append(b"\n")
-        out.write(b"".join(parts))
+        return b"".join(parts)
+
+    def _grapheme_bits(self, bits: np.ndarray, host,
+                       n_rows: int) -> np.ndarray:
+        """Apply the host grapheme mask to bit-packed gap rows:
+        unpack -> mask -> repack (the unsafe-codepoint prefilter makes
+        this near-free on typical CJK corpora)."""
+        bnd = np.unpackbits(bits, axis=1, bitorder="little")
+        self._apply_grapheme(bnd, host, n_rows)
+        return np.packbits(bnd, axis=1, bitorder="little")
 
     def _apply_grapheme(self, bnd: np.ndarray, host, n: int) -> None:
         """AND the ConcatGraphemeClustersFilter into the boundary mask:
@@ -734,6 +854,7 @@ class LeanServer:
     def _run_fallback(self, blob, starts, ends, out) -> None:
         if self.fallback is None:
             raise RuntimeError("batch needs the general path; no fallback")
+        self.stats["fallback_lines"] += len(starts)
         lines = [
             blob[s:e].tobytes() for s, e in zip(starts.tolist(), ends.tolist())
         ]
