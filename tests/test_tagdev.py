@@ -55,7 +55,9 @@ def _device_tags(pred, texts, wsconst=()):
     else:
         tid = np.asarray(res[1])
         choice = np.asarray(res[2])
-    bnd = np.unpackbits(bits, axis=1, bitorder="little")[:, : L - 1]
+    from vaporetto_tpu.predictor import unpack_gap_bits
+
+    bnd = unpack_gap_bits(bits)[:, : L - 1]
     out = []
     for i, t in enumerate(texts):
         n = len(t)

@@ -102,6 +102,14 @@ def _load() -> Optional[ctypes.CDLL]:
         ctypes.POINTER(ctypes.c_uint8),
         ctypes.POINTER(ctypes.c_int32),
     ]
+    # round 5 changed these EXISTING signatures (types output); a stale
+    # pre-round-5 .so (rebuild failed: no compiler) must be driven with
+    # the old protocol — hasattr cannot see signature changes, so the
+    # vt_abi_version marker gates them
+    abi5 = hasattr(lib, "vt_abi_version")
+    if abi5:
+        lib.vt_abi_version.restype = ctypes.c_int
+        lib.vt_abi_version.argtypes = []
     lib.vt_tensorize16.restype = ctypes.c_int
     lib.vt_tensorize16.argtypes = [
         ctypes.POINTER(ctypes.c_uint8),
@@ -112,6 +120,7 @@ def _load() -> Optional[ctypes.CDLL]:
         ctypes.POINTER(ctypes.c_uint16),
         ctypes.POINTER(ctypes.c_uint16),
         ctypes.POINTER(ctypes.c_int32),
+    ] + ([ctypes.POINTER(ctypes.c_uint8)] if abi5 else []) + [
         ctypes.c_int32,  # n_threads (<= 0 = auto)
     ]
     if hasattr(lib, "vt_tensorize16_packed"):
@@ -127,6 +136,7 @@ def _load() -> Optional[ctypes.CDLL]:
             ctypes.c_int32,                  # L
             ctypes.POINTER(ctypes.c_uint16),
             ctypes.POINTER(ctypes.c_uint16),
+        ] + ([ctypes.POINTER(ctypes.c_uint8)] if abi5 else []) + [
             ctypes.c_int32,                  # n_threads
         ]
     lib.vt_detok.restype = ctypes.c_int64
@@ -1216,26 +1226,34 @@ def tensorize16_native(
     L: int,
     norm_map: Optional[np.ndarray] = None,  # uint16[65536] codepoint map
     n_threads: int = 0,  # <= 0 picks hardware concurrency
-) -> Optional[Tuple[np.ndarray, np.ndarray]]:
+    want_types: bool = False,
+):
     """Lean uint16 tensorizer with fused normalization.
 
-    Returns (cps uint16 (n, L), lengths int32) or None when the batch
-    needs the general path (astral chars, lines longer than L, invalid
-    UTF-8, or no native library).
+    Returns (cps uint16 (n, L), lengths int32) — plus the uint8 char
+    types of the normalized codepoints when ``want_types`` (padding 0;
+    feeds the serve kernels' host-types variant) — or None when the
+    batch needs the general path (astral chars, lines longer than L,
+    invalid UTF-8, or no native library).
     """
     lib = _load()
     if lib is None:
         return None
+    abi5 = hasattr(lib, "vt_abi_version")
+    if want_types and not abi5:
+        return None  # stale pre-round-5 library cannot emit types
     n = len(starts)
     starts = np.ascontiguousarray(starts, dtype=np.int64)
     ends = np.ascontiguousarray(ends, dtype=np.int64)
     cps = np.empty((n, L), dtype=np.uint16)
     lengths = np.empty(n, dtype=np.int32)
+    types = np.empty((n, L), dtype=np.uint8) if want_types else None
+    U8P = ctypes.POINTER(ctypes.c_uint8)
     U16P = ctypes.POINTER(ctypes.c_uint16)
     I64P = ctypes.POINTER(ctypes.c_int64)
     buf = blob if blob.size else np.zeros(1, dtype=np.uint8)
-    rc = lib.vt_tensorize16(
-        buf.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+    args = [
+        buf.ctypes.data_as(U8P),
         starts.ctypes.data_as(I64P),
         ends.ctypes.data_as(I64P),
         n,
@@ -1243,10 +1261,16 @@ def tensorize16_native(
         norm_map.ctypes.data_as(U16P) if norm_map is not None else None,
         cps.ctypes.data_as(U16P),
         lengths.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
-        n_threads,
-    )
+    ]
+    if abi5:
+        args.append(types.ctypes.data_as(U8P) if types is not None
+                    else None)
+    args.append(n_threads)
+    rc = lib.vt_tensorize16(*args)
     if rc != 0:
         return None
+    if want_types:
+        return cps, lengths, types
     return cps, lengths
 
 
@@ -1260,26 +1284,34 @@ def tensorize16_packed_native(
     L: int,
     norm_map: Optional[np.ndarray] = None,
     n_threads: int = 0,
-) -> Optional[np.ndarray]:
+    want_types: bool = False,
+):
     """Packed lean tensorizer: decodes line i at (rows_of[i], cols_of[i])
-    of a zeroed (B, L) uint16 batch — the short-line packing layout.
-    Returns cps or None when the batch needs another path (astral/NUL/
-    invalid UTF-8/overflow, or no native support)."""
+    of a zeroed (B, L) uint16 batch — the short-line packing layout;
+    ``want_types`` additionally returns the uint8 char types at the
+    same placement (separators 0). Returns cps (or (cps, types)), or
+    None when the batch needs another path (astral/NUL/invalid UTF-8/
+    overflow, or no native support)."""
     lib = _load()
     if lib is None or not hasattr(lib, "vt_tensorize16_packed"):
         return None
+    abi5 = hasattr(lib, "vt_abi_version")
+    if want_types and not abi5:
+        return None  # stale pre-round-5 library cannot emit types
     n = len(starts)
     starts = np.ascontiguousarray(starts, dtype=np.int64)
     ends = np.ascontiguousarray(ends, dtype=np.int64)
     rows_of = np.ascontiguousarray(rows_of, dtype=np.int32)
     cols_of = np.ascontiguousarray(cols_of, dtype=np.int32)
     cps = np.empty((B, L), dtype=np.uint16)
+    types = np.empty((B, L), dtype=np.uint8) if want_types else None
+    U8P = ctypes.POINTER(ctypes.c_uint8)
     U16P = ctypes.POINTER(ctypes.c_uint16)
     I64P = ctypes.POINTER(ctypes.c_int64)
     I32P = ctypes.POINTER(ctypes.c_int32)
     buf = blob if blob.size else np.zeros(1, dtype=np.uint8)
-    rc = lib.vt_tensorize16_packed(
-        buf.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+    args = [
+        buf.ctypes.data_as(U8P),
         starts.ctypes.data_as(I64P),
         ends.ctypes.data_as(I64P),
         n,
@@ -1289,10 +1321,16 @@ def tensorize16_packed_native(
         L,
         norm_map.ctypes.data_as(U16P) if norm_map is not None else None,
         cps.ctypes.data_as(U16P),
-        n_threads,
-    )
+    ]
+    if abi5:
+        args.append(types.ctypes.data_as(U8P) if types is not None
+                    else None)
+    args.append(n_threads)
+    rc = lib.vt_tensorize16_packed(*args)
     if rc != 0:
         return None
+    if want_types:
+        return cps, types
     return cps
 
 
@@ -1860,3 +1898,12 @@ def detok_tags2_native(
     if written < 0:
         return None
     return out[:written].tobytes()
+
+
+def abi_version() -> int:
+    """Native library ABI version (0 = pre-round-5 library without the
+    marker; >= 5 = vt_tensorize16* carry the types output)."""
+    lib = _load()
+    if lib is None or not hasattr(lib, "vt_abi_version"):
+        return 0
+    return int(lib.vt_abi_version())

@@ -21,6 +21,12 @@ inline uint8_t char_type(uint32_t c) { return vt::char_type(c); }
 
 extern "C" {
 
+// ABI version marker: round 5 changed the signatures of existing
+// entry points (vt_tensorize16* gained a types output); Python callers
+// gate the new arguments on this instead of hasattr (which cannot see
+// signature changes in a stale .so).
+int vt_abi_version() { return 5; }
+
 // Decode n_lines UTF-8 lines (byte ranges given by line_offsets, length
 // n_lines+1) into row-major (n_lines, L) codepoints (int32, 0-padded) and
 // char types (uint8, 0-padded); lengths receives the char count per line
@@ -94,11 +100,12 @@ namespace {
 int tensorize16_rows(const uint8_t* utf8, const int64_t* starts,
                      const int64_t* ends, int64_t row_lo, int64_t row_hi,
                      int32_t L, const uint16_t* map_bmp, uint16_t* cps,
-                     int32_t* lengths) {
+                     int32_t* lengths, uint8_t* types) {
   for (int64_t row = row_lo; row < row_hi; ++row) {
     const uint8_t* p = utf8 + starts[row];
     const uint8_t* end = utf8 + ends[row];
     uint16_t* cp_row = cps + row * L;
+    uint8_t* ty_row = types ? types + row * L : nullptr;
     int32_t n = 0;
     while (p < end) {
       uint32_t c;
@@ -128,11 +135,15 @@ int tensorize16_rows(const uint8_t* utf8, const int64_t* starts,
       }
       if (c == 0) return 4;  // NUL: general path must reject the line
       if (n >= L) return 3;
-      cp_row[n++] =
-          map_bmp ? map_bmp[c] : static_cast<uint16_t>(c);
+      uint16_t mc = map_bmp ? map_bmp[c] : static_cast<uint16_t>(c);
+      // char type of the NORMALIZED codepoint (what the device kernel
+      // classifies); padding stays 0 ("no char")
+      if (ty_row) ty_row[n] = char_type(mc);
+      cp_row[n++] = mc;
     }
     lengths[row] = n;
     std::memset(cp_row + n, 0, sizeof(uint16_t) * (L - n));
+    if (ty_row) std::memset(ty_row + n, 0, L - n);
   }
   return 0;
 }
@@ -145,11 +156,14 @@ int tensorize16_packed_rows(const uint8_t* utf8, const int64_t* starts,
                             const int64_t* ends, const int32_t* rows_of,
                             const int32_t* cols_of, int64_t line_lo,
                             int64_t line_hi, int32_t L,
-                            const uint16_t* map_bmp, uint16_t* cps) {
+                            const uint16_t* map_bmp, uint16_t* cps,
+                            uint8_t* types) {
   for (int64_t i = line_lo; i < line_hi; ++i) {
     const uint8_t* p = utf8 + starts[i];
     const uint8_t* end = utf8 + ends[i];
-    uint16_t* dst = cps + static_cast<int64_t>(rows_of[i]) * L + cols_of[i];
+    int64_t off = static_cast<int64_t>(rows_of[i]) * L + cols_of[i];
+    uint16_t* dst = cps + off;
+    uint8_t* ty_dst = types ? types + off : nullptr;
     int32_t room = L - cols_of[i];
     int32_t n = 0;
     while (p < end) {
@@ -176,7 +190,9 @@ int tensorize16_packed_rows(const uint8_t* utf8, const int64_t* starts,
       }
       if (c == 0) return 4;  // NUL would alias the separator
       if (n >= room) return 3;
-      dst[n++] = map_bmp ? map_bmp[c] : static_cast<uint16_t>(c);
+      uint16_t mc = map_bmp ? map_bmp[c] : static_cast<uint16_t>(c);
+      if (ty_dst) ty_dst[n] = char_type(mc);
+      dst[n++] = mc;
     }
   }
   return 0;
@@ -184,18 +200,25 @@ int tensorize16_packed_rows(const uint8_t* utf8, const int64_t* starts,
 
 }  // namespace
 
+// types (nullable): uint8 (B, L) char types of the normalized
+// codepoints at the same placement (separators/padding 0), so the
+// serve kernels can take host-computed types instead of classifying
+// on device (the reference engine computes types inline on CPU too,
+// sentence.rs:264-283).
 int vt_tensorize16_packed(const uint8_t* utf8, const int64_t* starts,
                           const int64_t* ends, int64_t n_lines,
                           const int32_t* rows_of, const int32_t* cols_of,
                           int64_t B, int32_t L, const uint16_t* map_bmp,
-                          uint16_t* cps, int32_t n_threads) {
+                          uint16_t* cps, uint8_t* types,
+                          int32_t n_threads) {
   std::memset(cps, 0, sizeof(uint16_t) * B * L);
+  if (types) std::memset(types, 0, B * L);
   std::atomic<int> rc{0};
   vt::parallel_rows(n_lines, n_threads, 1024,
                     [&](int64_t lo, int64_t hi) {
                       int r = tensorize16_packed_rows(
                           utf8, starts, ends, rows_of, cols_of, lo, hi, L,
-                          map_bmp, cps);
+                          map_bmp, cps, types);
                       if (r != 0) {
                         int expected = 0;
                         rc.compare_exchange_strong(expected, r);
@@ -210,12 +233,13 @@ int vt_tensorize16_packed(const uint8_t* utf8, const int64_t* starts,
 int vt_tensorize16(const uint8_t* utf8, const int64_t* starts,
                    const int64_t* ends, int64_t n_lines, int32_t L,
                    const uint16_t* map_bmp, uint16_t* cps,
-                   int32_t* lengths, int32_t n_threads) {
+                   int32_t* lengths, uint8_t* types, int32_t n_threads) {
   std::atomic<int> rc{0};
   vt::parallel_rows(n_lines, n_threads, 1024,
                     [&](int64_t lo, int64_t hi) {
                       int r = tensorize16_rows(utf8, starts, ends, lo, hi,
-                                               L, map_bmp, cps, lengths);
+                                               L, map_bmp, cps, lengths,
+                                               types);
                       if (r != 0) {
                         int expected = 0;
                         rc.compare_exchange_strong(expected, r);
@@ -318,11 +342,13 @@ int64_t vt_detok(const uint8_t* utf8, const int64_t* starts,
   return w;
 }
 
-// Bit-packed detokenizer: boundaries arrive as little-endian bit rows
-// (8 gaps per byte — the device packs them so the dominant readback
-// shrinks 8x), and each line's gaps may start at an arbitrary (row,
-// col) of the packed batch — the short-line packing layout. rows/cols
-// NULL means line i's gaps start at (i, 0) (the unpacked lean path).
+// Bit-packed detokenizer: boundaries arrive as COLUMN-MAJOR bit rows
+// (8 gaps per byte; gap g = bit g / bytes_per_row of byte
+// g % bytes_per_row — the layout the device packs with contiguous
+// slices, see predictor._pack_gap_bits), and each line's gaps may
+// start at an arbitrary (row, col) of the packed batch — the
+// short-line packing layout. rows/cols NULL means line i's gaps start
+// at (i, 0) (the unpacked lean path).
 int64_t vt_detok_bits(const uint8_t* utf8, const int64_t* starts,
                       const int64_t* ends, int64_t n_lines,
                       const uint8_t* bits, int32_t bytes_per_row,
@@ -351,7 +377,8 @@ int64_t vt_detok_bits(const uint8_t* utf8, const int64_t* starts,
         if ((byte & 0xC0) != 0x80) {  // char start
           if (ci > 0 && ci <= max_gaps) {
             int64_t pos = base + ci - 1;
-            if ((brow[pos >> 3] >> (pos & 7)) & 1) *o++ = ' ';
+            if ((brow[pos % bytes_per_row] >> (pos / bytes_per_row)) & 1)
+              *o++ = ' ';
           }
           ++ci;
           if (byte == ' ' || byte == '/' || byte == '\\') *o++ = '\\';
@@ -594,8 +621,10 @@ int64_t vt_detok_tags(const uint8_t* utf8, const int64_t* starts,
 
 namespace {
 
-inline int bit_at(const uint8_t* brow, int64_t pos) {
-  return (brow[pos >> 3] >> (pos & 7)) & 1;
+// column-major gap bits (see predictor._pack_gap_bits): gap pos lives
+// in byte pos % W at bit pos / W, W = bytes per packed row
+inline int bit_at(const uint8_t* brow, int64_t pos, int32_t W) {
+  return (brow[pos % W] >> (pos / W)) & 1;
 }
 
 }  // namespace
@@ -636,7 +665,7 @@ int64_t vt_detok_scores2(const uint8_t* utf8, const int64_t* starts,
       while (p < end) {
         uint8_t byte = *p;
         if ((byte & 0xC0) != 0x80) {
-          if (ci > 0 && ci < n && bit_at(brow, base + ci - 1)) *o++ = ' ';
+          if (ci > 0 && ci < n && bit_at(brow, base + ci - 1, bytes_per_row)) *o++ = ' ';
           ++ci;
           if (byte == ' ' || byte == '/' || byte == '\\') *o++ = '\\';
         }
@@ -710,7 +739,7 @@ int64_t vt_detok_tags2(
     int64_t base = cols_of ? cols_of[line] : 0;
     const uint8_t* brow = bits + row * bytes_per_row;
     int64_t ntok = 1;
-    for (int64_t g = 0; g + 1 < n; ++g) ntok += bit_at(brow, base + g);
+    for (int64_t g = 0; g + 1 < n; ++g) ntok += bit_at(brow, base + g, bytes_per_row);
     int64_t cap = 2 * nbytes + n + 1 + ntok * max_tag_bytes;
     if (gap_scores) cap += n * per_gap + 2;
     if (tag_scores)  // surfaces print NORMALIZED codepoints (<= 3 B/char)
@@ -762,7 +791,7 @@ int64_t vt_detok_tags2(
       while (p < end) {
         uint8_t byte = *p;
         if ((byte & 0xC0) != 0x80) {  // char start
-          if (ci > 0 && ci < n && bit_at(brow, base + ci - 1)) {
+          if (ci > 0 && ci < n && bit_at(brow, base + ci - 1, bytes_per_row)) {
             emit_tags(ci - 1);
             *o++ = ' ';
           }
@@ -792,7 +821,7 @@ int64_t vt_detok_tags2(
         const uint16_t* cp = cps16 + row * L + base;
         int32_t st = 0;
         for (int32_t e = 0; e < n; ++e) {
-          bool is_end = (e == n - 1) || bit_at(brow, base + e);
+          bool is_end = (e == n - 1) || bit_at(brow, base + e, bytes_per_row);
           if (!is_end) continue;
           for (int32_t i = st; i <= e; ++i) o = put_utf8(o, cp[i]);
           int32_t t = tid_at(row, base + e);

@@ -1,4 +1,4 @@
-"""Exact-hash longest matching: the windowed trie walk in ONE gather.
+"""Exact-hash longest matching: the windowed trie walk in TWO gathers.
 
 The fused windowed walk (ops/match.py) costs one table-gather kernel per
 step, i.e. ``max_len`` sequential gather kernels — the measured cost
@@ -11,21 +11,27 @@ module reformulates longest-match as *direct per-length window lookup*:
   Aho-Corasick ``no_suffix`` output, reference
   char_scorer/boundary_scorer.rs:91-113 via the suffix-merged weights)
   is simply the id of the LONGEST window that is exactly a pattern.
-* For each pattern length ``k`` present in the model, a collision-free
-  multiplicative hash over the rolling window hash ``h_k`` maps the
-  window to a slot in a shared table. All per-length regions live in
-  ONE concatenated table, so the whole match is ONE row gather of shape
-  (B, L, n_lengths, R); everything else (rolling hashes, slot
-  arithmetic, symbol verification, longest-k selection) is elementwise
-  and fuses.
-* Exactness is not probabilistic: each gathered row carries the
+* Per pattern length ``k``, windows are located by CHD-style
+  hash-and-displace perfect hashing over the rolling window hash
+  ``h_k``: slot = (mix2(h) + d[mix1(h)]) & mask, with ``d`` a small
+  per-bucket displacement array built greedily host-side. All lengths
+  share ONE displacement table and ONE entry table, so the whole match
+  is two gathers — a small-table (B, L, nk) int16 displacement gather
+  and the (B, L, nk, R) entry-row gather — and everything else
+  (rolling hashes, slot arithmetic, verification, longest-k selection)
+  is elementwise and fuses. A single-level multiplicative perfect hash
+  was measured infeasible at dictionary scale (the birthday bound
+  forces ~n^2 slots), and an FKS level-1 ROW gather was measured to
+  cost a second big-gather kernel plus layout copies; CHD keeps the
+  first probe in the cheap small-table tier (PERF.md round-4 cost
+  model) at ~2n entry slots total.
+* Exactness is not probabilistic: each level-2 row carries the
   pattern's symbols packed two-per-int32 (end-aligned pairs), and a
-  candidate only matches when every window symbol compares equal. Hash
-  collisions between *patterns* of one length are eliminated at build
-  time (per-length injective (mul, shift), with a fallback rolling-hash
-  base); collisions between text windows and patterns are rejected by
-  the symbol comparison. OOV/padding/separator symbols are 0 and
-  pattern symbols are >= 1, so out-of-line windows can never match.
+  candidate only matches when every window symbol compares equal.
+  Same-length rolling-hash duplicates are eliminated at build time by
+  retrying the hash base; text-window collisions are rejected by the
+  symbol comparison. OOV/padding/separator symbols are 0 and pattern
+  symbols are >= 1, so out-of-line windows can never match.
 
 Equivalence with :func:`ops.match.match_longest_fused` is pinned by
 tests/test_hashmatch.py on golden, bundled, and randomized models.
@@ -51,24 +57,39 @@ HASH_MATCH_MAX_SYM = 32767
 #: rolling-hash base candidates (odd constants; retried in order until
 #: every per-length pattern-hash set is duplicate-free)
 _BASES = (0x9E3779B1, 0x85EBCA77, 0xC2B2AE3D, 0x27D4EB2F)
+#: bucket multiplier (any odd mixer; buckets need not be collision-free,
+#: only reasonably balanced)
+_C1 = 0x9E3779B1
+#: slot-mix multiplier candidates (retried until every bucket's members
+#: have distinct base slots)
+_C2S = (0x85EBCA77, 0xC2B2AE3D, 0x27D4EB2F, 0x165667B1,
+        0x9E3779B1, 0xD6E8FEB9, 0xA3B19525, 0x5851F42D)
 
 
 @dataclasses.dataclass
 class HashMatchTables:
     """Host-built tables for :func:`hash_match_longest`.
 
-    ``table``: (P_total, R) int32 — concatenated per-length regions;
-    row = [pattern_id, pair_0, .., pair_{n_pairs-1}] with pair_j =
-    (sigma_{2j+1} << 16) | sigma_{2j} over symbols indexed by distance
-    from the pattern END (partial trailing pair for odd lengths holds
-    the single symbol; unused pairs are -1). Empty slots have id -1.
-    ``metas``: per length (ascending): (k, offset, mul_signed, shift).
+    ``d``: (D_total, 2) int32 — concatenated per-length CHD
+    displacement rows; bucket = d_offset + ((h_k * C1) >>_u d_shift).
+    Column 0 holds the displacement, column 1 is padding: gathers
+    returning (N, R>=2) rows take the fast vectorized TPU path while
+    1-D gathers run per-element (measured 26.5 vs 126 ms here), and
+    int32 avoids the sub-word unpack path int16 tables hit.
+    ``l2``: (P2_total, R) int32 — entry rows [pattern_id, pair_0, ..,
+    pair_{n_pairs-1}] with pair_j = (sigma_{2j+1} << 16) | sigma_{2j}
+    over symbols indexed by distance from the pattern END (partial
+    trailing pair for odd lengths holds the single symbol); empty
+    entries are all -1. Entry slot = l2_offset +
+    ((((h_k * C2) >>_u slot_shift) + d[bucket]) & mask).
+    ``metas``: per present length (ascending):
+    (k, d_offset, d_shift, l2_offset, slot_shift, mask, c2_signed).
     ``base``: rolling-hash base (signed-int32 form).
-    ``kmax``: largest pattern length covered.
     """
 
-    table: np.ndarray
-    metas: List[Tuple[int, int, int, int]]
+    d: np.ndarray
+    l2: np.ndarray
+    metas: List[Tuple[int, int, int, int, int, int, int]]
     base: int
     kmax: int
     n_pairs: int
@@ -95,7 +116,7 @@ def extract_patterns(matcher) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
     terms = terms[terms != 0]  # root cannot terminate a pattern
     pids = value[terms].astype(np.int32)
     n = len(terms)
-    syms = np.zeros((n, matcher.max_len), dtype=np.int32)
+    syms = np.zeros((n, max(matcher.max_len, 1)), dtype=np.int32)
     lengths = np.zeros(n, dtype=np.int32)
     cur = terms.copy()
     alive = cur > 0
@@ -113,35 +134,82 @@ def extract_patterns(matcher) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
     return syms, lengths, pids
 
 
-def _rolling_hashes(syms_end: np.ndarray, lengths: np.ndarray,
-                    base: int) -> np.ndarray:
+def _rolling_hashes(syms_end: np.ndarray, base: int) -> np.ndarray:
     """h(pattern) = sum_e sigma_e * base^e mod 2^32 (e = distance from
-    the end) — matching the device's incremental form exactly."""
+    the end) — matching the device's incremental form exactly. Columns
+    beyond each pattern's length are zero, so the full-width sum equals
+    the per-length prefix sum."""
     h = np.zeros(len(syms_end), dtype=np.uint64)
     powv = np.uint64(1)
     M = np.uint64(0xFFFFFFFF)
     for e in range(syms_end.shape[1]):
         h = (h + syms_end[:, e].astype(np.uint64) * powv) & M
         powv = (powv * np.uint64(base)) & M
-    # columns beyond each pattern's length are zero, so the full-width
-    # sum equals the per-length prefix sum
     return h.astype(np.uint32)
 
 
-def _find_injection(hs: np.ndarray, rng) -> Optional[Tuple[int, int, int]]:
-    """Smallest power-of-two table + (mul, shift) injective over hs."""
-    n = max(len(hs), 1)
-    m_bits = max(2, int(np.ceil(np.log2(n * 2))))
-    h64 = hs.astype(np.uint64)
-    while m_bits <= 26:
-        shift = 32 - m_bits
-        for _ in range(64):
-            mul = int(rng.integers(0, 2**31)) * 2 + 1
-            slots = ((h64 * np.uint64(mul)) & np.uint64(0xFFFFFFFF)) \
-                >> np.uint64(shift)
-            if len(np.unique(slots)) == len(hs):
-                return mul, shift, 1 << m_bits
-        m_bits += 1
+def _chd_region(hk: np.ndarray, max_disp: int = 32767):
+    """CHD hash-and-displace for one length region.
+
+    Returns (d int16 (D,), slot_of (n,) int64, d_shift, slot_shift,
+    mask, c2) or None. Greedy: buckets in decreasing size pick the
+    smallest displacement placing all members in free slots."""
+    M = np.uint64(0xFFFFFFFF)
+    n = len(hk)
+    h64 = hk.astype(np.uint64)
+    d_bits = max(1, int(np.ceil(np.log2(max(n / 4, 1)))) if n > 4 else 1)
+    D = 1 << d_bits
+    d_shift = 32 - d_bits
+    bucket = ((h64 * np.uint64(_C1)) & M) >> np.uint64(d_shift)
+    p_bits = max(1, int(np.ceil(np.log2(n * 2))))
+    while p_bits <= 27:
+        P = 1 << p_bits
+        slot_shift = 32 - p_bits
+        for c2 in _C2S:
+            bslot = ((h64 * np.uint64(c2)) & M) >> np.uint64(slot_shift)
+            # within-bucket base slots must be distinct or no
+            # displacement can separate them
+            order = np.lexsort((bslot, bucket))
+            bs, ss = bucket[order], bslot[order]
+            same = (bs[1:] == bs[:-1]) & (ss[1:] == ss[:-1])
+            if same.any():
+                continue
+            # group members per bucket, largest first
+            edges = np.flatnonzero(np.diff(bs)) + 1
+            starts = np.concatenate(([0], edges))
+            ends = np.concatenate((edges, [len(bs)]))
+            sizes = ends - starts
+            big_first = np.argsort(-sizes, kind="stable")
+            free = np.ones(P, dtype=bool)
+            d = np.zeros(D, dtype=np.int32)
+            slot_of = np.zeros(n, dtype=np.int64)
+            ok = True
+            mask = P - 1
+            for gi in big_first:
+                mem = order[starts[gi]:ends[gi]]
+                basev = bslot[mem].astype(np.int64)
+                delta = 0
+                while delta <= max_disp:
+                    tgt = (basev + delta) & mask
+                    if free[tgt].all():
+                        break
+                    delta += 1
+                else:
+                    ok = False
+                    break
+                if delta > max_disp:
+                    ok = False
+                    break
+                free[tgt] = False
+                slot_of[mem] = tgt
+                d[int(bucket[mem[0]])] = delta
+            if ok:
+                # int32, not int16: sub-word gathers lower to a
+                # per-element unpack path on TPU (measured 117 ms vs
+                # 15 ms for the same gather at s16 vs s32)
+                return (d.astype(np.int32), slot_of, d_shift,
+                        slot_shift, mask, c2)
+        p_bits += 1
     return None
 
 
@@ -157,53 +225,70 @@ def build_hash_match_tables(matcher) -> Optional[HashMatchTables]:
     kmax = int(lengths.max())
     n_pairs = (kmax + 1) // 2
     R = 1 + n_pairs
-    rng = np.random.default_rng(0x5EED5)
     for base in _BASES:
-        hs = _rolling_hashes(syms, lengths, base)
-        metas: List[Tuple[int, int, int, int]] = []
-        regions = []
-        offset = 0
+        hs = _rolling_hashes(syms, base)
+        dup_free = True
+        for k in range(1, kmax + 1):
+            hk = hs[lengths == k]
+            if len(np.unique(hk)) != len(hk):
+                dup_free = False  # rolling-hash duplicate: retry base
+                break
+        if not dup_free:
+            continue
+        metas: List[Tuple[int, int, int, int, int, int, int]] = []
+        d_parts: List[np.ndarray] = []
+        slot_parts: List[Tuple[np.ndarray, np.ndarray]] = []
+        d_off = 0
+        l2_off = 0
         ok = True
         for k in range(1, kmax + 1):
-            sel = lengths == k
-            if not sel.any():
+            rows = np.flatnonzero(lengths == k)
+            if len(rows) == 0:
                 continue
-            hk = hs[sel]
-            if len(np.unique(hk)) != len(hk):
-                ok = False  # same-length rolling-hash duplicate: new base
-                break
-            inj = _find_injection(hk, rng)
-            if inj is None:
+            res = _chd_region(hs[rows])
+            if res is None:
                 ok = False
                 break
-            mul, shift, P = inj
-            region = np.full((P, R), -1, dtype=np.int32)
-            slots = ((hk.astype(np.uint64) * np.uint64(mul))
-                     & np.uint64(0xFFFFFFFF)) >> np.uint64(shift)
-            rows = np.flatnonzero(sel)
-            region[slots, 0] = pids[rows]
+            d, slot_of, d_shift, slot_shift, mask, c2 = res
+            metas.append((k, d_off, d_shift, l2_off, slot_shift, mask,
+                          _signed32(c2)))
+            d_parts.append(d)
+            slot_parts.append((rows, l2_off + slot_of))
+            d_off += len(d)
+            l2_off += mask + 1
+        if not ok:
+            continue
+        d_flat = (np.concatenate(d_parts) if d_parts
+                  else np.zeros(1, dtype=np.int32))
+        # (D, 2) row form for the fast TPU row-gather path (column 1 is
+        # padding; see hash_match_longest)
+        d_table = np.stack([d_flat, np.zeros_like(d_flat)], axis=1)
+        l2 = np.full((max(l2_off, 1), R), -1, dtype=np.int32)
+        for rows, slots in slot_parts:
+            l2[slots, 0] = pids[rows]
             for j in range(n_pairs):
-                lo = syms[rows, 2 * j] if 2 * j < k else None
-                if lo is None:
-                    break
-                hi = syms[rows, 2 * j + 1] if 2 * j + 1 < k else 0
-                region[slots, 1 + j] = (hi << 16) | lo
-            metas.append((k, offset, _signed32(mul), shift))
-            regions.append(region)
-            offset += P
-        if ok:
-            table = (np.concatenate(regions, axis=0) if regions
-                     else np.full((1, R), -1, dtype=np.int32))
-            return HashMatchTables(
-                table=table, metas=metas, base=_signed32(base),
-                kmax=kmax, n_pairs=n_pairs,
-            )
+                lo = syms[rows, 2 * j]
+                hi = (syms[rows, 2 * j + 1]
+                      if 2 * j + 1 < syms.shape[1]
+                      else np.zeros(len(rows), dtype=np.int32))
+                pair = (hi << 16) | lo
+                # only meaningful for patterns long enough to own pair
+                # j; shorter ones keep -1 (their k-comparison never
+                # reads it, and -1 can never equal a window pair)
+                has = lengths[rows] > 2 * j
+                l2[slots[has], 1 + j] = pair[has]
+        return HashMatchTables(
+            d=d_table, l2=l2, metas=metas, base=_signed32(base),
+            kmax=kmax, n_pairs=n_pairs,
+        )
     return None
 
 
 def hash_match_for(matcher) -> Optional[HashMatchTables]:
     """Cached per-matcher build; ``VAPORETTO_TPU_NO_HASHMATCH=1``
     disables (falls back to the windowed walk)."""
+    if matcher is None:
+        return None
     if os.environ.get("VAPORETTO_TPU_NO_HASHMATCH") == "1":
         return None
     obj = getattr(matcher, "_hash_match_cache", False)
@@ -213,13 +298,14 @@ def hash_match_for(matcher) -> Optional[HashMatchTables]:
     return obj
 
 
-def hash_match_longest(syms, table, hm: HashMatchTables):
-    """Device-side longest match via the hash tables: returns (B, L)
+def hash_match_longest(syms, d_table, l2, hm: HashMatchTables):
+    """Device-side longest match via the CHD tables: returns (B, L)
     int32 pattern ids (-1 = no match), identical to
     :func:`ops.match.match_longest_fused` over the same model.
 
-    ONE big-table gather; rolling hashes, slot arithmetic, verification
-    compares, and the longest-k selection are elementwise and fuse.
+    One SMALL-table displacement gather + one entry-row gather; rolling
+    hashes, slot arithmetic, verification compares, and the longest-k
+    selection are elementwise and fuse.
     """
     import jax.numpy as jnp
     from jax import lax
@@ -242,18 +328,51 @@ def hash_match_longest(syms, table, hm: HashMatchTables):
         h = h + sh[e] * jnp.int32(_signed32(powv))
         hks[e + 1] = h
         powv = (powv * (hm.base & 0xFFFFFFFF)) & 0xFFFFFFFF
-    slots = [
-        jnp.int32(off) + lax.shift_right_logical(
-            hks[k] * jnp.int32(mul), jnp.int32(shift)
-        )
-        for (k, off, mul, shift) in hm.metas
-    ]
-    idx = jnp.stack(slots, axis=-1)  # (B, L, nk)
-    rows = table[idx]  # (B, L, nk, R) — the one gather
+    c1 = jnp.int32(_signed32(_C1))
+    # stack the per-length lookups on the LEADING axis: minor-dim
+    # stacks/slices of the (.., nk) tensors each compiled to their own
+    # layout-copy kernels (~10 ms apiece); leading-axis slices are free
+    b_idx = jnp.stack(
+        [
+            jnp.int32(d_off) + lax.shift_right_logical(
+                hks[k] * c1, jnp.int32(d_shift)
+            )
+            for (k, d_off, d_shift, _, _, _, _) in hm.metas
+        ],
+        axis=0,
+    )  # (nk, B, L)
+    # 2-D row-form table: on TPU a gather returning (N, R>=2) rows runs
+    # the fast vectorized path (~2 ns/row measured) while the same
+    # indices into a 1-D table take a per-element path (~8.6 ns,
+    # measured 126 ms for this tensor; a (D, 1) reshape gets
+    # canonicalized back). build_hash_match_tables emits the (D, 2)
+    # row form (column 1 is padding).
+    disp = d_table[b_idx][..., 0]  # (nk, B, L)
+    # one vectorized expression over the stacked k axis — per-k slices
+    # of `disp` compiled to their own multi-output slice kernel
+    # (measured 23.5 ms), broadcasting tiny per-k constant vectors does
+    # not
+    mix = jnp.stack(
+        [
+            lax.shift_right_logical(
+                hks[k] * jnp.int32(c2), jnp.int32(slot_shift)
+            )
+            for (k, _, _, _, slot_shift, _, c2) in hm.metas
+        ],
+        axis=0,
+    )
+    off_vec = jnp.asarray(
+        np.asarray([m[3] for m in hm.metas], dtype=np.int32)
+    )[:, None, None]
+    mask_vec = jnp.asarray(
+        np.asarray([m[5] for m in hm.metas], dtype=np.int32)
+    )[:, None, None]
+    slot2 = off_vec + ((mix + disp) & mask_vec)
+    rows = l2[slot2]  # (nk, B, L, R) — the big gather
     answer = jnp.full(syms.shape, -1, dtype=jnp.int32)
     low = jnp.int32(0xFFFF)
-    for i, (k, _, _, _) in enumerate(hm.metas):  # ascending k
-        r = rows[..., i, :]
+    for i, (k, *_rest) in enumerate(hm.metas):  # ascending k
+        r = rows[i]  # leading-axis slice: no copy
         ok = r[..., 0] >= 0
         for j in range(k // 2):
             ok = ok & (pairs[j] == r[..., 1 + j])

@@ -86,9 +86,19 @@ class Predictor:
             use_small_tables = (
                 os.environ.get("VAPORETTO_TPU_SMALL_TABLES") == "1"
             )
+            from .ops.hashmatch import hash_match_for
             from .ops.match import build_walk_tab
             from .ops.score import build_wide_rows
 
+            # exact-hash matcher (round 5): the whole windowed walk in
+            # ONE gather; the walk tables stay as the fallback for
+            # models the hash build cannot cover (ops/hashmatch.py)
+            for side, m_side in (("char", c.char_matcher),
+                                 ("type", c.type_matcher)):
+                hm = hash_match_for(m_side)
+                if hm is not None:
+                    t[side + "_hm"] = (jnp.asarray(hm.d),
+                                       jnp.asarray(hm.l2))
             if c.char_matcher is not None:
                 m = c.char_matcher
                 if c.char_hash_keys is not None:
@@ -156,7 +166,8 @@ class Predictor:
         return fn
 
     def serve_boundaries_fn(self, wsconst_types: Tuple[int, ...] = (),
-                            mesh=None, mesh_axis: str = "dp"):
+                            mesh=None, mesh_axis: str = "dp",
+                            host_types: bool = False):
         """HBM-lean serving path: ``fn(codepoints, lengths) ->
         uint8 (B, ceil((L-1)/8))`` — the boundary mask bit-packed 8 gaps
         per byte (see :meth:`serve_traced_fn`).
@@ -189,7 +200,7 @@ class Predictor:
         """
         import jax
 
-        fn, tables = self.serve_traced_fn(wsconst_types)
+        fn, tables = self.serve_traced_fn(wsconst_types, host_types)
 
         if mesh is not None:
             from jax.sharding import NamedSharding, PartitionSpec as P
@@ -198,17 +209,21 @@ class Predictor:
             vec_sh = NamedSharding(mesh, P(mesh_axis))
             rep = NamedSharding(mesh, P())
             table_sh = jax.tree.map(lambda _: rep, tables)
+            in_sh = ((batch_sh, batch_sh, vec_sh, table_sh)
+                     if host_types else (batch_sh, vec_sh, table_sh))
             jitted = jax.jit(
-                fn,
-                in_shardings=(batch_sh, vec_sh, table_sh),
-                out_shardings=batch_sh,
+                fn, in_shardings=in_sh, out_shardings=batch_sh,
             )
             tables = jax.device_put(tables, table_sh)
         else:
             jitted = jax.jit(fn)
 
-        def wrapper(cps, lengths):
-            return jitted(cps, lengths, tables)
+        if host_types:
+            def wrapper(cps, cts, lengths):
+                return jitted(cps, cts, lengths, tables)
+        else:
+            def wrapper(cps, lengths):
+                return jitted(cps, lengths, tables)
 
         return wrapper
 
@@ -221,7 +236,8 @@ class Predictor:
         tables["ctype_bmp"] = jnp.asarray(_CHAR_TYPE_TABLE_SMALL)
         return tables
 
-    def _make_serve_core(self, wsconst_types: Tuple[int, ...]):
+    def _make_serve_core(self, wsconst_types: Tuple[int, ...],
+                         host_types: bool = False):
         """Shared serve prologue: ``fn(cps, lengths, tables) ->
         (gaps bool (B, L-1), cps32, cts, gap_scores, char_match,
         type_match)`` with char typing, wsconst suppression, and the
@@ -231,7 +247,14 @@ class Predictor:
         compares — pure elementwise, fuses for free) instead of gathering
         the 64 KiB type table; int32 (astral-bearing) batches take the
         table-classify fallback — identical results
-        (tests/test_serving.py)."""
+        (tests/test_serving.py).
+
+        ``host_types``: the returned fn takes ``(cps, cts, lengths,
+        tables)`` with the uint8 char types supplied by the native
+        tensorizer (padding/separators 0) — the reference engine
+        computes types inline during decode too (sentence.rs:264-283),
+        and dropping the classify chain makes the serve kernel's device
+        arithmetic a strict subset of the full kernel's."""
         import jax
         import jax.numpy as jnp
 
@@ -248,19 +271,8 @@ class Predictor:
         other = int(CharacterType.OTHER)
         has_char = c.char_matcher is not None
 
-        def fn(cps, lengths, tables):
-            B, L = cps.shape
-            cps32 = cps.astype(jnp.int32)
-            if cps.dtype == jnp.uint16:
-                cts = classify_types_bmp_arith(cps32)
-            else:
-                cps32, cts = _classify_types(cps, tables, kanji, other)
-            # codepoint 0 = padding / packed-line separator: its type
-            # symbol must read as 0 ("no char", the reference's
-            # out-of-sentence behavior), never OTHER. Real NUL input
-            # never reaches the lean kernels (the tensorizer rejects it,
-            # matching the general path's from_raw error).
-            cts = jnp.where(cps32 == 0, 0, cts)
+        def tail(cps32, cts, lengths, tables):
+            B, L = cps32.shape
             syms = (
                 _project_char_syms(c, cps32, tables) if has_char else None
             )
@@ -277,27 +289,58 @@ class Predictor:
             gaps = gaps & (t_idx < (lengths[:, None] - 1))
             return gaps, cps32, cts, gap_scores, cm, tm
 
+        if host_types:
+            def fn(cps, cts, lengths, tables):
+                return tail(
+                    cps.astype(jnp.int32), cts.astype(jnp.int32),
+                    lengths, tables,
+                )
+
+            return fn
+
+        def fn(cps, lengths, tables):
+            cps32 = cps.astype(jnp.int32)
+            if cps.dtype == jnp.uint16:
+                cts = classify_types_bmp_arith(cps32)
+            else:
+                cps32, cts = _classify_types(cps, tables, kanji, other)
+            # codepoint 0 = padding / packed-line separator: its type
+            # symbol must read as 0 ("no char", the reference's
+            # out-of-sentence behavior), never OTHER. Real NUL input
+            # never reaches the lean kernels (the tensorizer rejects it,
+            # matching the general path's from_raw error).
+            cts = jnp.where(cps32 == 0, 0, cts)
+            return tail(cps32, cts, lengths, tables)
+
         return fn
 
-    def serve_traced_fn(self, wsconst_types: Tuple[int, ...] = ()):
+    def serve_traced_fn(self, wsconst_types: Tuple[int, ...] = (),
+                        host_types: bool = False):
         """The unjitted serving function and its table pytree:
         ``fn(cps, lengths, tables) -> uint8 (B, ceil((L-1)/8))`` — the
-        per-gap boundary mask BIT-PACKED little-endian, 8 gaps per byte
-        (see :meth:`serve_boundaries_fn`). The device->host boundary
-        readback dominates lean-serving wall time on slow links, and
-        packing shrinks it 8x; the native detokenizer consumes the bits
-        directly (vt_detok_bits). ``np.unpackbits(out, axis=1,
-        bitorder='little')[:, :L-1]`` recovers the byte mask.
+        per-gap boundary mask BIT-PACKED column-major, 8 gaps per byte
+        (see :meth:`serve_boundaries_fn` and :func:`_pack_gap_bits`).
+        The device->host boundary readback dominates lean-serving wall
+        time on slow links, and packing shrinks it 8x; the native
+        detokenizer consumes the bits directly (vt_detok_bits).
+        :func:`unpack_gap_bits` recovers the byte mask on the host.
 
         Tables are passed as arguments so callers control
         jit/sharding/loop composition (the benchmark harness scans this
-        inside one program)."""
-        serve = self._make_serve_core(wsconst_types)
+        inside one program). ``host_types``: take the tensorizer's
+        uint8 char types as an extra argument (see
+        :meth:`_make_serve_core`) — fn(cps, cts, lengths, tables)."""
+        serve = self._make_serve_core(wsconst_types, host_types)
         tables = self._serve_tables(wsconst_types)
 
-        def fn(cps, lengths, tables):
-            gaps, _, _, _, _, _ = serve(cps, lengths, tables)
-            return _pack_gap_bits(gaps)
+        if host_types:
+            def fn(cps, cts, lengths, tables):
+                gaps, _, _, _, _, _ = serve(cps, cts, lengths, tables)
+                return _pack_gap_bits(gaps)
+        else:
+            def fn(cps, lengths, tables):
+                gaps, _, _, _, _, _ = serve(cps, lengths, tables)
+                return _pack_gap_bits(gaps)
 
         return fn, tables
 
@@ -424,7 +467,8 @@ class Predictor:
 
         return fn
 
-    def serve_scores_traced_fn(self, wsconst_types: Tuple[int, ...] = ()):
+    def serve_scores_traced_fn(self, wsconst_types: Tuple[int, ...] = (),
+                               host_types: bool = False):
         """Lean serving variant that also returns the raw int32 gap
         scores: ``fn(cps, lengths, tables) -> (boundary bits uint8
         (B, ceil((L-1)/8)), scores int32 (B, L-1))`` — boundaries
@@ -437,22 +481,30 @@ class Predictor:
         scores); ~4.1 B/char readback instead of the 16 B/char general
         path.
         """
-        serve = self._make_serve_core(wsconst_types)
+        serve = self._make_serve_core(wsconst_types, host_types)
         tables = self._serve_tables(wsconst_types)
 
-        def fn(cps, lengths, tables):
-            gaps, _, _, gap_scores, _, _ = serve(cps, lengths, tables)
-            return _pack_gap_bits(gaps), gap_scores
+        if host_types:
+            def fn(cps, cts, lengths, tables):
+                gaps, _, _, gap_scores, _, _ = serve(
+                    cps, cts, lengths, tables
+                )
+                return _pack_gap_bits(gaps), gap_scores
+        else:
+            def fn(cps, lengths, tables):
+                gaps, _, _, gap_scores, _, _ = serve(cps, lengths, tables)
+                return _pack_gap_bits(gaps), gap_scores
 
         return fn, tables
 
     def serve_scores_fn(self, wsconst_types: Tuple[int, ...] = (),
-                        mesh=None, mesh_axis: str = "dp"):
+                        mesh=None, mesh_axis: str = "dp",
+                        host_types: bool = False):
         """Jitted lean scores path (see :meth:`serve_scores_traced_fn`);
         mesh semantics identical to :meth:`serve_boundaries_fn`."""
         import jax
 
-        fn, tables = self.serve_scores_traced_fn(wsconst_types)
+        fn, tables = self.serve_scores_traced_fn(wsconst_types, host_types)
 
         if mesh is not None:
             from jax.sharding import NamedSharding, PartitionSpec as P
@@ -461,17 +513,23 @@ class Predictor:
             vec_sh = NamedSharding(mesh, P(mesh_axis))
             rep = NamedSharding(mesh, P())
             table_sh = jax.tree.map(lambda _: rep, tables)
+            in_sh = ((batch_sh, batch_sh, vec_sh, table_sh)
+                     if host_types else (batch_sh, vec_sh, table_sh))
             jitted = jax.jit(
                 fn,
-                in_shardings=(batch_sh, vec_sh, table_sh),
+                in_shardings=in_sh,
                 out_shardings=(batch_sh, batch_sh),
             )
             tables = jax.device_put(tables, table_sh)
         else:
             jitted = jax.jit(fn)
 
-        def wrapper(cps, lengths):
-            return jitted(cps, lengths, tables)
+        if host_types:
+            def wrapper(cps, cts, lengths):
+                return jitted(cps, cts, lengths, tables)
+        else:
+            def wrapper(cps, lengths):
+                return jitted(cps, lengths, tables)
 
         return wrapper
 
@@ -499,7 +557,8 @@ class Predictor:
 
     def serve_tags_traced_fn(self, wsconst_types: Tuple[int, ...] = (),
                              want_gap_scores: bool = False,
-                             want_tag_scores: bool = False):
+                             want_tag_scores: bool = False,
+                             host_types: bool = False):
         """The unjitted lean tag-serving function and its table pytree:
         ``fn(cps, lengths, tables) -> (boundary bits uint8
         (B, ceil((L-1)/8)), token_id int8/int16/int32 (B, L),
@@ -574,7 +633,7 @@ class Predictor:
             )
 
         c = self.compiled
-        serve_core = self._make_serve_core(wsconst_types)
+        serve_core = self._make_serve_core(wsconst_types, host_types)
         max_tok_len = dt.max_tok_len
         n_tokens = dt.n_tokens
         S = dt.n_slots
@@ -599,11 +658,9 @@ class Predictor:
         m2 = int(np.int64(np.uint32(_M2)) - (1 << 32)
                  if int(_M2) >= 1 << 31 else int(_M2))
 
-        def fn(cps, lengths, tables):
+        def body(serve_out, lengths, tables):
+            gaps, cps, _, gap_scores, char_match, type_match = serve_out
             B, L = cps.shape
-            gaps, cps, _, gap_scores, char_match, type_match = serve_core(
-                cps, lengths, tables
-            )
 
             # ---- token spans from the boundary mask -------------------
             # separator-aware: gaps adjacent to codepoint-0 positions
@@ -750,6 +807,15 @@ class Predictor:
                 outs.append(sc)
             return tuple(outs)
 
+        if host_types:
+            def fn(cps, cts, lengths, tables):
+                return body(serve_core(cps, cts, lengths, tables),
+                            lengths, tables)
+        else:
+            def fn(cps, lengths, tables):
+                return body(serve_core(cps, lengths, tables),
+                            lengths, tables)
+
         fn.packed_tc = packed_tc
         fn.n_tag_slots = S
         return fn, tables
@@ -757,13 +823,14 @@ class Predictor:
     def serve_tags_fn(self, wsconst_types: Tuple[int, ...] = (),
                       mesh=None, mesh_axis: str = "dp",
                       want_gap_scores: bool = False,
-                      want_tag_scores: bool = False):
+                      want_tag_scores: bool = False,
+                      host_types: bool = False):
         """Jitted lean tag-serving path (see :meth:`serve_tags_traced_fn`);
         mesh semantics identical to :meth:`serve_boundaries_fn`."""
         import jax
 
         fn, tables = self.serve_tags_traced_fn(
-            wsconst_types, want_gap_scores, want_tag_scores
+            wsconst_types, want_gap_scores, want_tag_scores, host_types
         )
 
         if mesh is not None:
@@ -785,17 +852,23 @@ class Predictor:
                 out_sh.append(batch_sh)
             if want_tag_scores:
                 out_sh.append(NamedSharding(mesh, P(mesh_axis, None, None)))
+            in_sh = ((batch_sh, batch_sh, vec_sh, table_sh)
+                     if host_types else (batch_sh, vec_sh, table_sh))
             jitted = jax.jit(
                 fn,
-                in_shardings=(batch_sh, vec_sh, table_sh),
+                in_shardings=in_sh,
                 out_shardings=tuple(out_sh),
             )
             tables = jax.device_put(tables, table_sh)
         else:
             jitted = jax.jit(fn)
 
-        def wrapper(cps, lengths):
-            return jitted(cps, lengths, tables)
+        if host_types:
+            def wrapper(cps, cts, lengths):
+                return jitted(cps, cts, lengths, tables)
+        else:
+            def wrapper(cps, lengths):
+                return jitted(cps, lengths, tables)
 
         wrapper.packed_tc = fn.packed_tc
         wrapper.n_tag_slots = fn.n_tag_slots
@@ -1122,22 +1195,53 @@ class Predictor:
 
 
 def _pack_gap_bits(gaps):
-    """bool (B, G) -> uint8 (B, ceil(G/8)), little-endian bit order
-    (np.unpackbits(bitorder='little') inverse). A handful of elementwise
-    shifts/ors — free next to the 8x readback saving."""
+    """bool (B, G) -> uint8 (B, W8 = ceil(G/8)), COLUMN-MAJOR bit
+    order: gap ``g`` lives in byte ``g % W8`` at bit ``g // W8``.
+
+    The round-4 byte-major pack (reshape to (B, W8, 8) + lane reduce)
+    compiled to three extra odd-layout u8 kernels on TPU — the measured
+    serve-vs-full gap (BENCH_r04 dispatch_marginal). Column-major packs
+    with eight CONTIGUOUS W8-wide slices instead: no reshape, no
+    strided access, one fused elementwise expression. Decode with
+    :func:`unpack_gap_bits` (host) or ``(row[g % W8] >> (g // W8)) & 1``
+    (native detokenizers)."""
     import jax.numpy as jnp
 
     B, G = gaps.shape
     Gp = -(-G // 8) * 8
-    g = (
-        jnp.pad(gaps, ((0, 0), (0, Gp - G)))
-        .reshape(B, Gp // 8, 8)
-        .astype(jnp.uint8)
-    )
-    b = g[..., 0]
+    W8 = Gp // 8
+    g = jnp.pad(gaps, ((0, 0), (0, Gp - G))).astype(jnp.int32)
+    b = g[:, 0:W8]
     for j in range(1, 8):
-        b = b | (g[..., j] << j)
-    return b
+        b = b | (g[:, j * W8 : (j + 1) * W8] << j)
+    return b.astype(jnp.uint8)
+
+
+def unpack_gap_bits(bits: np.ndarray) -> np.ndarray:
+    """Host inverse of :func:`_pack_gap_bits`: uint8 (B, W8) ->
+    uint8 0/1 (B, W8 * 8) in gap order (gap g = bit g//W8 of byte
+    g%W8)."""
+    B, W8 = bits.shape
+    u = np.unpackbits(bits, axis=1, bitorder="little")  # j*8 + b order
+    return np.ascontiguousarray(
+        u.reshape(B, W8, 8).transpose(0, 2, 1)
+    ).reshape(B, W8 * 8)
+
+
+def pack_gap_bits_np(bnd: np.ndarray) -> np.ndarray:
+    """Host twin of :func:`_pack_gap_bits` over a 0/1 byte mask
+    (B, G); pads G up to a byte multiple."""
+    B, G = bnd.shape
+    Gp = -(-G // 8) * 8
+    W8 = Gp // 8
+    if Gp != G:
+        bnd = np.pad(bnd, ((0, 0), (0, Gp - G)))
+    return np.packbits(
+        np.ascontiguousarray(
+            bnd.reshape(B, 8, W8).transpose(0, 2, 1)
+        ).reshape(B, Gp),
+        axis=1, bitorder="little",
+    )
 
 
 def _classify_types(cps, tables, kanji: int, other: int):
@@ -1277,6 +1381,7 @@ def _make_score_core(c):
     import jax
     import jax.numpy as jnp
 
+    from .ops.hashmatch import hash_match_for, hash_match_longest
     from .ops.match import match_longest_fused
     from .ops.score import (
         shift_add_scores,
@@ -1296,6 +1401,10 @@ def _make_score_core(c):
     type_wide_meta = (
         wide_offset_span(c.type_matcher) if c.type_matcher else None
     )
+    # static hash-match metadata (cached per matcher; same objects whose
+    # tables _tables() uploaded — ops/hashmatch.py)
+    char_hm = hash_match_for(c.char_matcher) if c.char_matcher else None
+    type_hm = hash_match_for(c.type_matcher) if c.type_matcher else None
     # per-position match states are only consumed by tag scoring; on a
     # bandwidth-bound pipeline not returning them lets XLA drop the
     # (B, L) int32 stores (~4 B/char of HBM writes) from the hot path
@@ -1309,11 +1418,16 @@ def _make_score_core(c):
         type_match = None
         if "char" in tables:
             walk_tab, rf, rc, w8, off = tables["char"]
-            char_match = match_longest_fused(
-                syms, walk_tab, c.char_matcher.max_len,
-                dead=walk_tab.shape[0] - 1,
-                root_base=int(c.char_matcher.base[0]),
-            )
+            if "char_hm" in tables and char_hm is not None:
+                char_match = hash_match_longest(
+                    syms, *tables["char_hm"], char_hm
+                )
+            else:
+                char_match = match_longest_fused(
+                    syms, walk_tab, c.char_matcher.max_len,
+                    dead=walk_tab.shape[0] - 1,
+                    root_base=int(c.char_matcher.base[0]),
+                )
             if "char_wide" in tables and char_wide_meta is not None:
                 scores = wide_add_scores(
                     char_match, tables["char_wide"], char_wide_meta[0],
@@ -1343,11 +1457,16 @@ def _make_score_core(c):
             walk_tab, rf, rc, w8, off = tables["type"]
             t_idx = jax.lax.broadcasted_iota(jnp.int32, cts.shape, 1)
             tsyms = jnp.where(t_idx < lengths[:, None], cts, 0)
-            type_match = match_longest_fused(
-                tsyms, walk_tab, c.type_matcher.max_len,
-                dead=walk_tab.shape[0] - 1,
-                root_base=int(c.type_matcher.base[0]),
-            )
+            if "type_hm" in tables and type_hm is not None:
+                type_match = hash_match_longest(
+                    tsyms, *tables["type_hm"], type_hm
+                )
+            else:
+                type_match = match_longest_fused(
+                    tsyms, walk_tab, c.type_matcher.max_len,
+                    dead=walk_tab.shape[0] - 1,
+                    root_base=int(c.type_matcher.base[0]),
+                )
             if "type_wide" in tables and type_wide_meta is not None:
                 scores = wide_add_scores(
                     type_match, tables["type_wide"], type_wide_meta[0],

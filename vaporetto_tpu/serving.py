@@ -231,6 +231,15 @@ class LeanServer:
         host_engine = getattr(predictor, "backend", "device") == "host"
         if host_engine and mesh is not None:
             raise ValueError("the lean host engine takes no device mesh")
+        # host-computed char types (round 5): the native tensorizer
+        # classifies during decode (as the reference engine does,
+        # sentence.rs:264-283), so the device serve kernels skip the
+        # classify chain — their arithmetic becomes a strict subset of
+        # the full kernel's. Requires the round-5 native ABI.
+        from .native import abi_version
+
+        self._host_types = not host_engine and abi_version() >= 5
+        ht = self._host_types
         if self.rich:
             from .native import TagEmitPlan
 
@@ -242,7 +251,7 @@ class LeanServer:
             self.fn = predictor.serve_tags_fn(
                 tuple(sorted(wsconst)), mesh=mesh,
                 want_gap_scores=self.scores,
-                want_tag_scores=self.tag_scores,
+                want_tag_scores=self.tag_scores, host_types=ht,
             )
             self.plan = TagEmitPlan(
                 predictor.compiled.tag_meta, predictor.compiled.n_tags
@@ -255,7 +264,7 @@ class LeanServer:
                 predictor.serve_tags_host_fn(tuple(sorted(wsconst)))
                 if host_engine
                 else predictor.serve_tags_fn(
-                    tuple(sorted(wsconst)), mesh=mesh
+                    tuple(sorted(wsconst)), mesh=mesh, host_types=ht
                 )
             )
             self.plan = TagEmitPlan(
@@ -266,7 +275,7 @@ class LeanServer:
                 predictor.serve_scores_host_fn(tuple(sorted(wsconst)))
                 if host_engine
                 else predictor.serve_scores_fn(
-                    tuple(sorted(wsconst)), mesh=mesh
+                    tuple(sorted(wsconst)), mesh=mesh, host_types=ht
                 )
             )
         else:
@@ -274,7 +283,7 @@ class LeanServer:
                 predictor.serve_boundaries_host_fn(tuple(sorted(wsconst)))
                 if host_engine
                 else predictor.serve_boundaries_fn(
-                    tuple(sorted(wsconst)), mesh=mesh
+                    tuple(sorted(wsconst)), mesh=mesh, host_types=ht
                 )
             )
         self.norm_map = _fullwidth_norm_map() if normalize else None
@@ -356,11 +365,16 @@ class LeanServer:
             # device batch shape
             return None
         L = bucket_length(max_chars + 1)
-        t16 = tensorize16_native(blob, starts, ends, L, self.norm_map)
+        t16 = tensorize16_native(blob, starts, ends, L, self.norm_map,
+                                 want_types=self._host_types)
         if t16 is None:
             return None
-        cps, lengths = t16
-        res = self.fn(cps, lengths)
+        if self._host_types:
+            cps, lengths, cts = t16
+            res = self.fn(cps, cts, lengths)
+        else:
+            cps, lengths = t16
+            res = self.fn(cps, lengths)
         self.n_lines += n_valid
         self.n_chars += int(lengths[:n_valid].sum())
         self.stats["dispatches"] += 1
@@ -431,13 +445,19 @@ class LeanServer:
         B = max(64, 1 << (n_rows - 1).bit_length())
         if B % self._mesh_div:  # sharded batch: keep B divisible
             B = -(-B // self._mesh_div) * self._mesh_div
-        cps = tensorize16_packed_native(
-            blob, starts, ends, row, col, B, PACK_L, self.norm_map
+        t16 = tensorize16_packed_native(
+            blob, starts, ends, row, col, B, PACK_L, self.norm_map,
+            want_types=self._host_types,
         )
-        if cps is None:
+        if t16 is None:
             return None
         lengths = np.full(B, PACK_L, dtype=np.int32)
-        res = self.fn(cps, lengths)
+        if self._host_types:
+            cps, cts = t16
+            res = self.fn(cps, cts, lengths)
+        else:
+            cps = t16
+            res = self.fn(cps, lengths)
         self.n_lines += n_valid
         self.n_chars += int(counts[:n_valid].sum())
         self.stats["dispatches"] += 1
@@ -519,9 +539,9 @@ class LeanServer:
             )
             if data is None and packed is None:
                 # stale native lib without v2: dense byte fallback
-                bnd = np.unpackbits(
-                    bits, axis=1, bitorder="little"
-                )[:, : sc.shape[1]]
+                from .predictor import unpack_gap_bits
+
+                bnd = unpack_gap_bits(bits)[:, : sc.shape[1]]
                 data = detok_scores_native(
                     blob, starts, ends, bnd[:n].astype(np.int8),
                     host[0][:n], counts, sc[:n],
@@ -552,7 +572,9 @@ class LeanServer:
                 )
             if data is None and packed is None:
                 # stale native lib without vt_detok_bits: byte fallback
-                bnd = np.unpackbits(raw, axis=1, bitorder="little")
+                from .predictor import unpack_gap_bits
+
+                bnd = unpack_gap_bits(raw)
                 data = detok_native(
                     blob, starts, ends, bnd[:n].astype(np.int8),
                     scratch=self._scratch,
@@ -587,8 +609,9 @@ class LeanServer:
         if data is not None:
             return data
         # stale-lib fallback: dense bytes + int32, Python block formatting
-        bnd = np.unpackbits(bits, axis=1, bitorder="little")
-        bnd = bnd[:, : tid.shape[1] - 1]
+        from .predictor import unpack_gap_bits
+
+        bnd = unpack_gap_bits(bits)[:, : tid.shape[1] - 1]
         if self.rich:
             return self._format_rich_py(
                 bnd, tid, choice, gap_sc, tag_sc, blob, starts, ends,
@@ -712,9 +735,11 @@ class LeanServer:
         """Apply the host grapheme mask to bit-packed gap rows:
         unpack -> mask -> repack (the unsafe-codepoint prefilter makes
         this near-free on typical CJK corpora)."""
-        bnd = np.unpackbits(bits, axis=1, bitorder="little")
+        from .predictor import pack_gap_bits_np, unpack_gap_bits
+
+        bnd = unpack_gap_bits(bits)
         self._apply_grapheme(bnd, host, n_rows)
-        return np.packbits(bnd, axis=1, bitorder="little")
+        return pack_gap_bits_np(bnd)
 
     def _apply_grapheme(self, bnd: np.ndarray, host, n: int) -> None:
         """AND the ConcatGraphemeClustersFilter into the boundary mask:
