@@ -4,18 +4,22 @@ The reference predict CLI's whole-pipeline contract is wall-clock elapsed
 over the per-line loop (predict/src/main.rs:124,183-185). This module is
 the TPU-native equivalent tuned end-to-end:
 
-    bytes -> native uint16 tensorize (+ fused fullwidth normalization;
-             short-line runs PACKED many-per-row with separator gaps)
-          -> device boundary kernel (uint16 in, BIT-PACKED gap mask out,
-             wsconst fused; tag pass / score outputs when asked)
+    bytes -> native uint16 tensorize (+ fused fullwidth normalization
+             and char-type classification; short-line runs PACKED
+             many-per-row with separator gaps)
+          -> device boundary kernel (uint16 cps + uint8 types in,
+             BIT-PACKED gap mask out, wsconst fused; tag pass / score
+             outputs when asked)
           -> native detokenizer against the ORIGINAL bytes (consumes the
              bit-packed gaps directly, with per-line (row, col)
              placement for packed batches)
           -> bytes
 
-* ~2.1 B/char crosses the host<->device boundary on the boundary path
-  (uint16 codepoints in, 1 bit per gap out) vs ~16 B/char on the
-  general path.
+* ~3.1 B/char crosses the host<->device boundary on the boundary path
+  (uint16 codepoints + uint8 types in, 1 bit per gap out) vs
+  ~16 B/char on the general path; the host-computed types drop the
+  device classify chain, making the serve kernel's arithmetic a strict
+  subset of the full kernel's.
 * Each stage is C++ or XLA; Python only orchestrates batches. Lines are
   addressed as (start, end) byte ranges straight into the read chunk —
   the input bytes are never copied host-side.

@@ -119,22 +119,20 @@ def _losses(kind):
     return loss, dloss
 
 
-@functools.partial(
-    jax.jit,
-    static_argnames=("n_dim", "loss_kind", "l1", "max_iter"),
-)
-def _fista(
-    idx: jax.Array,  # (N, K) int32 feature ids (0 = pad)
-    val: jax.Array,  # (N, K) float32 values
-    y: jax.Array,  # (N,) float32 in {+1, -1}
-    sample_mask: jax.Array,  # (N,) float32 1.0 for real rows
-    n_dim: int,  # D + 2 (0 pad slot + D features + bias)
-    cost: float,
-    eps: float,
-    loss_kind: int,
-    l1: bool,
-    max_iter: int,
-) -> jax.Array:
+#: iterations per device dispatch. The solve used to run power
+#: iteration + the full while_loop as ONE device execution; on the
+#: axon tunnel single executions beyond ~60 s crash the TPU worker
+#: (PERF.md "axon-tunnel measurement traps"), and an unbounded loop
+#: gives no progress signal anywhere. Chunking keeps each dispatch
+#: bounded with the state device-resident between chunks — on healthy
+#: hardware the per-chunk dispatch cost is amortized over
+#: SOLVER_CHUNK iterations (sub-percent overhead).
+import os as _os
+
+SOLVER_CHUNK = int(_os.environ.get("VAPORETTO_TPU_SOLVER_CHUNK", "32"))
+
+
+def _binary_ops(idx, val, y, sample_mask, n_dim, cost, loss_kind, l1):
     loss_fn, dloss_fn = _losses(loss_kind)
 
     def matvec(w):
@@ -143,7 +141,8 @@ def _fista(
     def rmatvec(r):
         # X^T r via segment-sum over flattened ids
         contrib = (val * r[:, None]).reshape(-1)
-        return jax.ops.segment_sum(contrib, idx.reshape(-1), num_segments=n_dim)
+        return jax.ops.segment_sum(contrib, idx.reshape(-1),
+                                   num_segments=n_dim)
 
     def f_grad(w):
         m = y * matvec(w)
@@ -157,19 +156,86 @@ def _fista(
         g = g.at[0].set(0.0)
         return f, g
 
-    def prox(w, step):
-        if l1:
-            w = jnp.sign(w) * jnp.maximum(jnp.abs(w) - step, 0.0)
-        return w
+    return matvec, rmatvec, f_grad
 
-    # Lipschitz estimate via power iteration on X^T X (few steps suffice)
+
+@functools.partial(jax.jit, static_argnames=("n_dim", "n_steps"))
+def _fista_power(idx, val, n_dim, n_steps, v):
+    """``n_steps`` power iterations on X^T X (Lipschitz estimate),
+    chunkable; returns (v, sigma2_of_v)."""
+    def matvec(w):
+        return jnp.sum(w[idx] * val, axis=1)
+
+    def rmatvec(r):
+        contrib = (val * r[:, None]).reshape(-1)
+        return jax.ops.segment_sum(contrib, idx.reshape(-1),
+                                   num_segments=n_dim)
+
     def power_body(_, v):
         v = rmatvec(matvec(v))
         return v / (jnp.linalg.norm(v) + 1e-30)
 
-    v0 = jnp.ones((n_dim,), dtype=jnp.float32) / np.sqrt(n_dim)
-    v = jax.lax.fori_loop(0, 16, power_body, v0)
+    v = jax.lax.fori_loop(0, n_steps, power_body, v)
     sigma2 = jnp.linalg.norm(rmatvec(matvec(v)))
+    return v, sigma2
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("n_dim", "loss_kind", "l1", "max_iter", "chunk"),
+)
+def _fista_advance(
+    idx, val, y, sample_mask, n_dim, cost, eps, loss_kind, l1,
+    max_iter, chunk, step, state,
+):
+    """Advance the FISTA while_loop by at most ``chunk`` iterations
+    (same body/cond as the monolithic loop — chunk boundaries only
+    pause it)."""
+    _, _, f_grad = _binary_ops(
+        idx, val, y, sample_mask, n_dim, cost, loss_kind, l1
+    )
+
+    def prox(w, s):
+        if l1:
+            w = jnp.sign(w) * jnp.maximum(jnp.abs(w) - s, 0.0)
+        return w
+
+    def body(state):
+        w, z, t, _, it = state
+        _, g = f_grad(z)
+        w_new = prox(z - step * g, step)
+        t_new = 0.5 * (1.0 + jnp.sqrt(1.0 + 4.0 * t * t))
+        z_new = w_new + ((t - 1.0) / t_new) * (w_new - w)
+        delta = jnp.max(jnp.abs(w_new - w))
+        return w_new, z_new, t_new, delta, it + 1
+
+    limit = state[4] + chunk
+
+    def cond(state):
+        _, _, _, delta, it = state
+        return (
+            (it < limit) & (it < max_iter)
+            & ((it < 8) | (delta > eps * step * 100.0))
+        )
+
+    return jax.lax.while_loop(cond, body, state)
+
+
+def _fista(
+    idx: jax.Array,  # (N, K) int32 feature ids (0 = pad)
+    val: jax.Array,  # (N, K) float32 values
+    y: jax.Array,  # (N,) float32 in {+1, -1}
+    sample_mask: jax.Array,  # (N,) float32 1.0 for real rows
+    n_dim: int,  # D + 2 (0 pad slot + D features + bias)
+    cost: float,
+    eps: float,
+    loss_kind: int,
+    l1: bool,
+    max_iter: int,
+) -> jax.Array:
+    v = jnp.ones((n_dim,), dtype=jnp.float32) / np.sqrt(n_dim)
+    for _ in range(4):  # 16 power iterations in 4 bounded dispatches
+        v, sigma2 = _fista_power(idx, val, n_dim, 4, v)
     # loss-curvature bound: logistic <= 1/4 (we use 1 for safety),
     # squared hinge = 2, smoothed hinge = 1/mu
     if loss_kind == L2_HINGE:
@@ -178,28 +244,24 @@ def _fista(
         curvature = 1.0 / HINGE_SMOOTHING_MU
     else:
         curvature = 1.0
-    lip = cost * sigma2 * curvature + (0.0 if l1 else 1.0) + 1e-6
-    step = 1.0 / lip
+    lip = float(sigma2) * cost * curvature + (0.0 if l1 else 1.0) + 1e-6
+    step = np.float32(1.0 / lip)
 
     w0 = jnp.zeros((n_dim,), dtype=jnp.float32)
-
-    def body(state):
-        w, z, t, _, it = state
-        f, g = f_grad(z)
-        w_new = prox(z - step * g, step)
-        t_new = 0.5 * (1.0 + jnp.sqrt(1.0 + 4.0 * t * t))
-        z_new = w_new + ((t - 1.0) / t_new) * (w_new - w)
-        delta = jnp.max(jnp.abs(w_new - w))
-        return w_new, z_new, t_new, delta, it + 1
-
-    def cond(state):
-        _, _, _, delta, it = state
-        return (it < max_iter) & ((it < 8) | (delta > eps * step * 100.0))
-
-    w, _, _, _, _ = jax.lax.while_loop(
-        cond, body, (w0, w0, jnp.float32(1.0), jnp.float32(jnp.inf), 0)
-    )
-    return w
+    state = (w0, w0, jnp.float32(1.0), jnp.float32(jnp.inf), jnp.int32(0))
+    eps32 = np.float32(eps)
+    while True:
+        state = _fista_advance(
+            idx, val, y, sample_mask, n_dim, cost, eps32, loss_kind, l1,
+            max_iter, SOLVER_CHUNK, step, state,
+        )
+        it = int(state[4])
+        delta = float(state[3])
+        # host twin of the device cond (same float32 quantities)
+        if it >= max_iter or (
+            it >= 8 and not delta > float(eps32 * step * np.float32(100.0))
+        ):
+            return state[0]
 
 
 #: Nesterov smoothing width for the Crammer-Singer max term: the
@@ -210,32 +272,14 @@ CS_SMOOTHING_MU = 0.01
 
 @functools.partial(
     jax.jit,
-    static_argnames=("n_dim", "n_classes", "max_iter"),
+    static_argnames=("n_dim", "n_classes", "max_iter", "chunk"),
 )
-def _fista_cs(
-    idx: jax.Array,  # (N, K) int32 feature ids (0 = pad)
-    val: jax.Array,  # (N, K) float32 values
-    labels: jax.Array,  # (N,) int32 class ids 0..C-1
-    sample_mask: jax.Array,  # (N,) float32 1.0 for real rows
-    n_dim: int,
-    n_classes: int,
-    cost: float,
-    eps: float,
-    max_iter: int,
-) -> jax.Array:
-    """FISTA on the Nesterov-smoothed Crammer-Singer primal.
-
-    Objective (LIBLINEAR MCSVM_CS; Crammer & Singer 2001, the solver the
-    reference selects with enum 4, trainer.rs:22-47):
-
-        min_W  0.5 * sum_r ||w_r||^2
-               + C * sum_i [ max_r (w_r.x_i + e_i^r) - w_{y_i}.x_i ]
-
-    with e_i^r = 0 if r == y_i else 1 (so the bracket is the multiclass
-    hinge, >= 0). The non-smooth max is smoothed as
-    MU * logsumexp(s / MU) — the same Nesterov device as the binary hinge
-    (enum 3) — giving softmax gradients and FISTA's accelerated rate.
-    """
+def _fista_cs_advance(
+    idx, val, labels, sample_mask, n_dim, n_classes, cost, eps,
+    max_iter, chunk, step, state,
+):
+    """Advance the Crammer-Singer FISTA loop by at most ``chunk``
+    iterations (see :func:`_fista_cs`)."""
     mu = CS_SMOOTHING_MU
     onehot = jax.nn.one_hot(labels, n_classes, dtype=jnp.float32)
 
@@ -261,27 +305,6 @@ def _fista_cs(
         g = g.at[:, 0].set(0.0)  # padding slot carries no real feature
         return f, g
 
-    # Lipschitz: ||X||^2 * (softmax curvature 1/mu) * C + 1 (regularizer)
-    def power_body(_, v):
-        v = jax.ops.segment_sum(
-            (val * jnp.sum(v[idx] * val, axis=1)[:, None]).reshape(-1),
-            idx.reshape(-1), num_segments=n_dim,
-        )
-        return v / (jnp.linalg.norm(v) + 1e-30)
-
-    v0 = jnp.ones((n_dim,), dtype=jnp.float32) / np.sqrt(n_dim)
-    v = jax.lax.fori_loop(0, 16, power_body, v0)
-    sigma2 = jnp.linalg.norm(
-        jax.ops.segment_sum(
-            (val * jnp.sum(v[idx] * val, axis=1)[:, None]).reshape(-1),
-            idx.reshape(-1), num_segments=n_dim,
-        )
-    )
-    lip = cost * sigma2 / mu + 1.0 + 1e-6
-    step = 1.0 / lip
-
-    W0 = jnp.zeros((n_classes, n_dim), dtype=jnp.float32)
-
     def body(state):
         W, Z, t, _, it = state
         _, g = f_grad(Z)
@@ -291,14 +314,66 @@ def _fista_cs(
         delta = jnp.max(jnp.abs(W_new - W))
         return W_new, Z_new, t_new, delta, it + 1
 
+    limit = state[4] + chunk
+
     def cond(state):
         _, _, _, delta, it = state
-        return (it < max_iter) & ((it < 8) | (delta > eps * step * 100.0))
+        return (
+            (it < limit) & (it < max_iter)
+            & ((it < 8) | (delta > eps * step * 100.0))
+        )
 
-    W, _, _, _, _ = jax.lax.while_loop(
-        cond, body, (W0, W0, jnp.float32(1.0), jnp.float32(jnp.inf), 0)
-    )
-    return W
+    return jax.lax.while_loop(cond, body, state)
+
+
+def _fista_cs(
+    idx: jax.Array,  # (N, K) int32 feature ids (0 = pad)
+    val: jax.Array,  # (N, K) float32 values
+    labels: jax.Array,  # (N,) int32 class ids 0..C-1
+    sample_mask: jax.Array,  # (N,) float32 1.0 for real rows
+    n_dim: int,
+    n_classes: int,
+    cost: float,
+    eps: float,
+    max_iter: int,
+) -> jax.Array:
+    """FISTA on the Nesterov-smoothed Crammer-Singer primal.
+
+    Objective (LIBLINEAR MCSVM_CS; Crammer & Singer 2001, the solver the
+    reference selects with enum 4, trainer.rs:22-47):
+
+        min_W  0.5 * sum_r ||w_r||^2
+               + C * sum_i [ max_r (w_r.x_i + e_i^r) - w_{y_i}.x_i ]
+
+    with e_i^r = 0 if r == y_i else 1 (so the bracket is the multiclass
+    hinge, >= 0). The non-smooth max is smoothed as
+    MU * logsumexp(s / MU) — the same Nesterov device as the binary hinge
+    (enum 3) — giving softmax gradients and FISTA's accelerated rate.
+    Runs in SOLVER_CHUNK-iteration device dispatches (see the chunking
+    note above :data:`SOLVER_CHUNK`).
+    """
+    mu = CS_SMOOTHING_MU
+    v = jnp.ones((n_dim,), dtype=jnp.float32) / np.sqrt(n_dim)
+    for _ in range(4):
+        v, sigma2 = _fista_power(idx, val, n_dim, 4, v)
+    # Lipschitz: ||X||^2 * (softmax curvature 1/mu) * C + 1 (regularizer)
+    lip = cost * float(sigma2) / mu + 1.0 + 1e-6
+    step = np.float32(1.0 / lip)
+
+    W0 = jnp.zeros((n_classes, n_dim), dtype=jnp.float32)
+    state = (W0, W0, jnp.float32(1.0), jnp.float32(jnp.inf), jnp.int32(0))
+    eps32 = np.float32(eps)
+    while True:
+        state = _fista_cs_advance(
+            idx, val, labels, sample_mask, n_dim, n_classes, cost, eps32,
+            max_iter, SOLVER_CHUNK, step, state,
+        )
+        it = int(state[4])
+        delta = float(state[3])
+        if it >= max_iter or (
+            it >= 8 and not delta > float(eps32 * step * np.float32(100.0))
+        ):
+            return state[0]
 
 
 def train_crammer_singer(
