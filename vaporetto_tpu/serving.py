@@ -446,7 +446,12 @@ class LeanServer:
         row = (s_pos // cap).astype(np.int32)
         col = (s_pos - row.astype(np.int64) * cap).astype(np.int32)
         n_rows = int(row[-1]) + 1 if len(row) else 1
-        B = max(64, 1 << (n_rows - 1).bit_length())
+        # row-count buckets: pow2 or 0.75*pow2 (e.g. 1536, 3072) — the
+        # ragged last group of a chunk otherwise pays up to 2x padding
+        # in device compute AND readback for at most 2x the compiled
+        # shape variety
+        p = max(64, 1 << (n_rows - 1).bit_length())
+        B = 3 * p // 4 if (3 * p // 4 >= n_rows and p >= 256) else p
         if B % self._mesh_div:  # sharded batch: keep B divisible
             B = -(-B // self._mesh_div) * self._mesh_div
         t16 = tensorize16_packed_native(

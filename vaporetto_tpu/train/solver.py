@@ -130,6 +130,16 @@ def _losses(kind):
 import os as _os
 
 SOLVER_CHUNK = int(_os.environ.get("VAPORETTO_TPU_SOLVER_CHUNK", "32"))
+#: per-dispatch work budget in gathered nnz (iterations x N x K): big
+#: problems shrink the chunk so one dispatch stays bounded (a 100k-line
+#: corpus at 32 iterations/chunk still crashed the tunnel worker)
+SOLVER_CHUNK_NNZ = float(
+    _os.environ.get("VAPORETTO_TPU_SOLVER_CHUNK_NNZ", "2e8")
+)
+
+
+def _auto_chunk(nnz: int) -> int:
+    return max(2, min(SOLVER_CHUNK, int(SOLVER_CHUNK_NNZ // max(nnz, 1))))
 
 
 def _binary_ops(idx, val, y, sample_mask, n_dim, cost, loss_kind, l1):
@@ -233,9 +243,13 @@ def _fista(
     l1: bool,
     max_iter: int,
 ) -> jax.Array:
+    chunk = _auto_chunk(idx.size)
+    psteps = max(1, min(4, chunk // 2))
     v = jnp.ones((n_dim,), dtype=jnp.float32) / np.sqrt(n_dim)
-    for _ in range(4):  # 16 power iterations in 4 bounded dispatches
-        v, sigma2 = _fista_power(idx, val, n_dim, 4, v)
+    done = 0
+    while done < 16:  # 16 power iterations in bounded dispatches
+        v, sigma2 = _fista_power(idx, val, n_dim, psteps, v)
+        done += psteps
     # loss-curvature bound: logistic <= 1/4 (we use 1 for safety),
     # squared hinge = 2, smoothed hinge = 1/mu
     if loss_kind == L2_HINGE:
@@ -253,7 +267,7 @@ def _fista(
     while True:
         state = _fista_advance(
             idx, val, y, sample_mask, n_dim, cost, eps32, loss_kind, l1,
-            max_iter, SOLVER_CHUNK, step, state,
+            max_iter, chunk, step, state,
         )
         it = int(state[4])
         delta = float(state[3])
@@ -353,9 +367,13 @@ def _fista_cs(
     note above :data:`SOLVER_CHUNK`).
     """
     mu = CS_SMOOTHING_MU
+    chunk = _auto_chunk(idx.size * max(n_classes // 2, 1))
+    psteps = max(1, min(4, chunk // 2))
     v = jnp.ones((n_dim,), dtype=jnp.float32) / np.sqrt(n_dim)
-    for _ in range(4):
-        v, sigma2 = _fista_power(idx, val, n_dim, 4, v)
+    done = 0
+    while done < 16:
+        v, sigma2 = _fista_power(idx, val, n_dim, psteps, v)
+        done += psteps
     # Lipschitz: ||X||^2 * (softmax curvature 1/mu) * C + 1 (regularizer)
     lip = cost * float(sigma2) / mu + 1.0 + 1e-6
     step = np.float32(1.0 / lip)
@@ -366,7 +384,7 @@ def _fista_cs(
     while True:
         state = _fista_cs_advance(
             idx, val, labels, sample_mask, n_dim, n_classes, cost, eps32,
-            max_iter, SOLVER_CHUNK, step, state,
+            max_iter, chunk, step, state,
         )
         it = int(state[4])
         delta = float(state[3])
