@@ -85,16 +85,27 @@ def wide_add_scores(
     pad_left: int,
 ) -> jax.Array:
     """Widened-row scoring: ``scores[b, t + pad_left + d0 + j] +=
-    w_wide[match, j]``; the -1 no-match id maps to the all-zero row."""
+    w_wide[match, j]``; the -1 no-match id maps to the all-zero row.
+
+    Formulated as ONE pad-and-sum expression instead of W in-place
+    ``.at[slice].add`` updates: each dynamic-update-slice compiled to
+    its own TPU kernel plus a bounds-check scalar (~2 kernels x W ==
+    most of the bundled model's pipeline time under the per-kernel cost
+    model, PERF.md round-4/5 findings), while the padded adds fuse into
+    a single elementwise kernel. Same int32 arithmetic, reassociated.
+    """
     B, L = match.shape
+    S = scores.shape[1]
     n_zero = w_wide.shape[0] - 1
     W = w_wide.shape[1]
     row = jnp.where(match >= 0, match, n_zero)
     w = w_wide[row]  # (B, L, W)
+    total = None
     for j in range(W):
         start = pad_left + d0 + j
-        scores = scores.at[:, start : start + L].add(w[:, :, j])
-    return scores
+        term = jnp.pad(w[:, :, j], ((0, 0), (start, S - start - L)))
+        total = term if total is None else total + term
+    return scores + total
 
 #: above this many unrolled slice-add terms, the scatter formulation wins:
 #: its trace is max_chunks scatter ops instead of a long slice-add unroll
@@ -267,7 +278,10 @@ def type_pos_scores(
         gap_scores = gap_scores + tables[j][code]
     gap_ok = t_idx < (lengths[:, None] - 1)
     gap_scores = jnp.where(gap_ok, gap_scores, 0)
-    return scores.at[:, pad_left : pad_left + L].add(gap_scores)
+    S = scores.shape[1]
+    return scores + jnp.pad(
+        gap_scores, ((0, 0), (pad_left, S - pad_left - L))
+    )
 
 
 def type_cache_scores(
@@ -308,8 +322,13 @@ def type_cache_scores(
     gap_scores = table[seqid]  # (B, L)
     gap_ok = t_idx < (lengths[:, None] - 1)
     gap_scores = jnp.where(gap_ok, gap_scores, 0)
-    # pad_right >= 1 is guaranteed by the compiler, so this slice is in bounds
-    return scores.at[:, pad_left : pad_left + L].add(gap_scores)
+    # pad_right >= 1 is guaranteed by the compiler, so this is in bounds;
+    # pad-and-add fuses where .at[slice].add compiled to its own
+    # dynamic-update-slice kernel (see wide_add_scores)
+    S = scores.shape[1]
+    return scores + jnp.pad(
+        gap_scores, ((0, 0), (pad_left, S - pad_left - L))
+    )
 
 
 def type_split_scores(
@@ -356,4 +375,7 @@ def type_split_scores(
     )
     gap_ok = t_idx < (lengths[:, None] - 1)
     gap_scores = jnp.where(gap_ok, gap_scores, 0)
-    return scores.at[:, pad_left : pad_left + L].add(gap_scores)
+    S = scores.shape[1]
+    return scores + jnp.pad(
+        gap_scores, ((0, 0), (pad_left, S - pad_left - L))
+    )
