@@ -153,6 +153,27 @@ class TestEndToEnd:
         assert self._scores(model, texts, False) == \
             self._scores(model, texts, True)
 
+    def test_long_word_model_falls_back_to_walk(self):
+        """A dictionary word beyond HASH_MATCH_MAX_LEN must disable the
+        hash matcher for that side (walk fallback) and still score
+        correctly end to end."""
+        base = Model.read("/root/reference/resources/model.bin")
+        long_word = "火星猫" * 7  # 21 chars > 16
+        base.replace_dictionary([
+            WordWeightRecord(long_word, [5] * (len(long_word) + 1), ""),
+            WordWeightRecord("火星", [0, -7, 0], ""),
+        ])
+        from vaporetto_tpu.predictor import Predictor as P
+
+        pred = P(base)
+        assert hashmatch.hash_match_for(
+            pred.compiled.char_matcher
+        ) is None
+        texts = [long_word, "火星" + long_word, "猫だ火星猫"]
+        a = self._scores(base, texts, False)
+        b = self._scores(base, texts, True)
+        assert a == b
+
     def test_dictionary_model(self):
         """A dictionary with words up to 7 chars exercises multi-length
         hash regions + verification (the big-model shape, scaled down)."""

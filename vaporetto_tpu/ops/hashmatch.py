@@ -52,6 +52,14 @@ __all__ = ["HashMatchTables", "build_hash_match_tables",
 #: (dictionary words may be up to 32 767 chars in the reference,
 #: char_scorer/boundary_scorer.rs:67-74 — those keep the lax.scan walk)
 HASH_MATCH_MAX_LEN = 16
+#: ... and SHORT-pattern models keep the walk too: for max_len k the
+#: walk costs k table-gather kernels while the hash path costs its two
+#: gathers PLUS the rolling-hash/verification elementwise chains —
+#: measured on the bundled model (max_len 2): walk ~7.6 ms vs hash
+#: ~21 ms; on the 50k-dict model (max_len 7): walk ~105 ms vs hash
+#: ~45 ms. Crossover is around 4-5 steps.
+#: VAPORETTO_TPU_HASHMATCH_MIN overrides (testing).
+HASH_MATCH_MIN_LEN = 5
 #: symbol ids must fit 15 bits for the two-per-int32 pair packing
 HASH_MATCH_MAX_SYM = 32767
 #: rolling-hash base candidates (odd constants; retried in order until
@@ -286,10 +294,16 @@ def build_hash_match_tables(matcher) -> Optional[HashMatchTables]:
 
 def hash_match_for(matcher) -> Optional[HashMatchTables]:
     """Cached per-matcher build; ``VAPORETTO_TPU_NO_HASHMATCH=1``
-    disables (falls back to the windowed walk)."""
+    disables (falls back to the windowed walk), and models below the
+    measured crossover length keep the walk (see HASH_MATCH_MIN_LEN)."""
     if matcher is None:
         return None
     if os.environ.get("VAPORETTO_TPU_NO_HASHMATCH") == "1":
+        return None
+    min_len = int(
+        os.environ.get("VAPORETTO_TPU_HASHMATCH_MIN", HASH_MATCH_MIN_LEN)
+    )
+    if matcher.max_len < min_len:
         return None
     obj = getattr(matcher, "_hash_match_cache", False)
     if obj is False:

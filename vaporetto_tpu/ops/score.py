@@ -319,7 +319,14 @@ def type_cache_scores(
         else:
             sl = jnp.pad(ct[:, shift:], ((0, 0), (0, shift)), constant_values=0)
         seqid = (seqid << 3) | sl
-    gap_scores = table[seqid]  # (B, L)
+    if table.ndim == 2:
+        # (P, 2) row form accepted for compatibility; measured SLOWER
+        # than the 1-D gather for this 8^6-entry table (unlike the
+        # small hash-matcher tables, ops/hashmatch.py), so the shipped
+        # table stays 1-D
+        gap_scores = table[seqid][..., 0]
+    else:
+        gap_scores = table[seqid]  # (B, L)
     gap_ok = t_idx < (lengths[:, None] - 1)
     gap_scores = jnp.where(gap_ok, gap_scores, 0)
     # pad_right >= 1 is guaranteed by the compiler, so this is in bounds;

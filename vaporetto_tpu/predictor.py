@@ -153,6 +153,9 @@ class Predictor:
             elif use_small_tables and c.type_pos_tables is not None:
                 t["type_pos"] = jnp.asarray(c.type_pos_tables)
             elif c.type_cache_table is not None:
+                # measured: the (P, 2) row-form trick that speeds the
+                # hash-matcher tables REGRESSES this 8^6-entry gather
+                # (14.95 -> 21.3 ms) — the 1-D form stays
                 t["type_cache"] = jnp.asarray(c.type_cache_table)
             self._device_tables = t
         return self._device_tables
