@@ -142,6 +142,19 @@ def _auto_chunk(nnz: int) -> int:
     return max(2, min(SOLVER_CHUNK, int(SOLVER_CHUNK_NNZ // max(nnz, 1))))
 
 
+def _progress(it: int, max_iter: int, delta: float) -> None:
+    """Optional per-chunk progress line (VAPORETTO_TPU_SOLVER_PROGRESS=1)
+    — the host-driven chunk loop makes a live signal possible at all;
+    LIBLINEAR prints optimization progress the same way (stderr)."""
+    if _os.environ.get("VAPORETTO_TPU_SOLVER_PROGRESS") == "1":
+        import sys
+        import time
+
+        print(f"[solver] iter {it}/{max_iter} delta {delta:.3e} "
+              f"t={time.strftime('%H:%M:%S')}",
+              file=sys.stderr, flush=True)
+
+
 def _binary_ops(idx, val, y, sample_mask, n_dim, cost, loss_kind, l1):
     loss_fn, dloss_fn = _losses(loss_kind)
 
@@ -271,6 +284,7 @@ def _fista(
         )
         it = int(state[4])
         delta = float(state[3])
+        _progress(it, max_iter, delta)
         # host twin of the device cond (same float32 quantities)
         if it >= max_iter or (
             it >= 8 and not delta > float(eps32 * step * np.float32(100.0))
@@ -388,6 +402,7 @@ def _fista_cs(
         )
         it = int(state[4])
         delta = float(state[3])
+        _progress(it, max_iter, delta)
         if it >= max_iter or (
             it >= 8 and not delta > float(eps32 * step * np.float32(100.0))
         ):
