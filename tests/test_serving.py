@@ -781,6 +781,32 @@ def test_packed_tags_match_general():
     assert sink.getvalue() == want
 
 
+class TestGapBitHelpers:
+    """Column-major gap-bit layout: device pack, host pack, and host
+    unpack must agree (the host pair backs the grapheme mask and the
+    stale-native-lib fallbacks)."""
+
+    @pytest.mark.parametrize("G", [7, 8, 63, 255, 511])
+    def test_round_trip_and_device_parity(self, G):
+        import jax
+
+        from vaporetto_tpu.predictor import (
+            _pack_gap_bits,
+            pack_gap_bits_np,
+            unpack_gap_bits,
+        )
+
+        rng = np.random.default_rng(G)
+        bnd = rng.integers(0, 2, size=(5, G)).astype(np.uint8)
+        dev = np.asarray(jax.jit(_pack_gap_bits)(bnd.astype(bool)))
+        host = pack_gap_bits_np(bnd)
+        assert np.array_equal(dev, host)
+        back = unpack_gap_bits(dev)
+        assert np.array_equal(back[:, :G], bnd)
+        Gp = -(-G // 8) * 8
+        assert not back[:, G:Gp].any()  # padding bits stay clear
+
+
 class TestPackedScoresAndRich:
     """Round 5: packing covers EVERY lean flag set — --scores and the
     rich combinations ride the packed layout through the placement-aware

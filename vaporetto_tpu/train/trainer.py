@@ -245,7 +245,7 @@ class Trainer:
     # ------------------------------------------------------------------
 
     def train(self, epsilon: float, cost: float, solver: int,
-              mesh=None) -> Model:
+              mesh=None, max_iter: int = 2000) -> Model:
         if self._native is not None:
             if self._native.n_examples == 0:
                 raise invalid_argument("trainer", "no training examples")
@@ -282,7 +282,7 @@ class Trainer:
         # WordBoundary weight column (binary solvers: WB-vs-rest; enum 4:
         # the WB row of a joint Crammer-Singer solve — trainer.rs:366-397)
         w, bias_raw = train_boundary(idx, val, ys, D, cost, epsilon, solver,
-                                     mesh=mesh)
+                                     mesh=mesh, max_iter=max_iter)
 
         weight_max = max(abs(bias_raw), float(np.abs(w).max()) if D else 0.0)
         quantize_multiplier = weight_max / ((1 << (QUANTIZE_BIT_DEPTH - 1)) - 1)
