@@ -10,7 +10,7 @@ import numpy as np
 import pytest
 
 from vaporetto_tpu.compile.trie import build_trie
-from vaporetto_tpu.models.model import Model, NgramData, WordWeightRecord
+from vaporetto_tpu.models.model import Model, WordWeightRecord
 from vaporetto_tpu.ops import hashmatch
 from vaporetto_tpu.predictor import Predictor
 

@@ -620,20 +620,48 @@ class Predictor:
                                  jnp.asarray(rev_tab))
             rev_hash = None
         tables["tag_bias"] = jnp.asarray(dt.bias)
-        tables["tag_slot"] = (
-            jnp.asarray(dt.slot_off), jnp.asarray(dt.slot_cnt)
+        # slot offsets and counts fused into ONE (n_tokens, 2S) row
+        # gather (was two gathers; every kernel counts on the measured
+        # per-kernel cost model)
+        tables["tag_slot2"] = jnp.asarray(
+            np.concatenate(
+                [np.asarray(dt.slot_off), np.asarray(dt.slot_cnt)],
+                axis=1,
+            ).astype(np.int32)
         )
-        tables["tag_w"] = jnp.asarray(dt.w_rows)
+        # probe rows carry the WEIGHT ROW INLINE when the class
+        # concatenation is narrow: (P, 2 + C) rows [tid, state, w...]
+        # remove the per-side weight indirection gather; wide tag
+        # models keep the (P, 3) + w_rows indirection
+        w_rows_np = np.asarray(dt.w_rows)
+        inline_w = w_rows_np.shape[1] <= 32
         for key, tabs in (("tag_char", dt.char_tabs),
                           ("tag_type", dt.type_tabs)):
-            # one (P, 3) row gather per probe instead of three
-            tables[key] = tuple(
-                jnp.asarray(
-                    np.stack([t.ver_tid, t.ver_state, t.row], axis=1)
-                    .astype(np.int32)
+            if inline_w:
+                tables[key] = tuple(
+                    jnp.asarray(
+                        np.concatenate(
+                            [
+                                np.stack(
+                                    [t.ver_tid, t.ver_state], axis=1
+                                ),
+                                w_rows_np[np.asarray(t.row)],
+                            ],
+                            axis=1,
+                        ).astype(np.int32)
+                    )
+                    for t in tabs
                 )
-                for t in tabs
-            )
+            else:
+                tables[key] = tuple(
+                    jnp.asarray(
+                        np.stack([t.ver_tid, t.ver_state, t.row], axis=1)
+                        .astype(np.int32)
+                    )
+                    for t in tabs
+                )
+        if not inline_w:
+            tables["tag_w"] = jnp.asarray(w_rows_np)
 
         c = self.compiled
         serve_core = self._make_serve_core(wsconst_types, host_types)
@@ -738,14 +766,14 @@ class Predictor:
             # ---- scoring: bias + hash-probed weight rows --------------
             tid_safe = jnp.clip(tid, 0, n_tokens - 1)
             sc = tables["tag_bias"][tid_safe]  # (B, L, C)
-            wrows = tables["tag_w"]
+            inline_w = "tag_w" not in tables
 
             def add_side(sc, match, key, meta):
                 if match is None or not meta:
                     return sc
                 for j, (shift, probe, rel) in enumerate(meta):
-                    tab3 = tables[key][j]  # (P, 3): tid, state, row
-                    size = tab3.shape[0]
+                    tab = tables[key][j]  # (P, 3) or inline (P, 2 + C)
+                    size = tab.shape[0]
                     if rel == 0:
                         st = match
                     else:
@@ -755,27 +783,43 @@ class Predictor:
                         )
                     h = tid * jnp.int32(m1) + st * jnp.int32(m2)
                     slot0 = lax.shift_right_logical(h, jnp.int32(shift))
-                    row = jnp.zeros_like(st)
                     found = jnp.zeros(st.shape, dtype=bool)
-                    for p in range(probe):
-                        s = (slot0 + p) & (size - 1)
-                        g = tab3[s]  # one row gather per probe
-                        hit = (
-                            (~found) & (g[..., 0] == tid)
-                            & (g[..., 1] == st)
-                        )
-                        row = jnp.where(hit, g[..., 2], row)
-                        found = found | hit
-                    sc = sc + wrows[row]
+                    if inline_w:
+                        # the probe row carries the weight row inline —
+                        # no per-side indirection gather
+                        wvec = jnp.zeros(st.shape + (C,), dtype=jnp.int32)
+                        for p in range(probe):
+                            s = (slot0 + p) & (size - 1)
+                            g = tab[s]  # one row gather per probe
+                            hit = (
+                                (~found) & (g[..., 0] == tid)
+                                & (g[..., 1] == st)
+                            )
+                            wvec = jnp.where(hit[..., None], g[..., 2:],
+                                             wvec)
+                            found = found | hit
+                        sc = sc + wvec
+                    else:
+                        row = jnp.zeros_like(st)
+                        for p in range(probe):
+                            s = (slot0 + p) & (size - 1)
+                            g = tab[s]  # one row gather per probe
+                            hit = (
+                                (~found) & (g[..., 0] == tid)
+                                & (g[..., 1] == st)
+                            )
+                            row = jnp.where(hit, g[..., 2], row)
+                            found = found | hit
+                        sc = sc + tables["tag_w"][row]
                 return sc
 
             sc = add_side(sc, char_match, "tag_char", char_meta)
             sc = add_side(sc, type_match, "tag_type", type_meta)
 
             # ---- per-slot masked argmax (first maximum wins) ----------
-            slot_off, slot_cnt = tables["tag_slot"]
-            off = slot_off[tid_safe]  # (B, L, S)
-            cnt = slot_cnt[tid_safe]
+            oc = tables["tag_slot2"][tid_safe]  # (B, L, 2S): off then cnt
+            off = oc[..., :S]
+            cnt = oc[..., S:]
             ciota = lax.broadcasted_iota(jnp.int32, (1, 1, C), 2)
             NEG = jnp.int32(-(2**31))
             choices = []
