@@ -767,6 +767,22 @@ def _measure() -> int:
                     ),
                 }
             diagnostics["dispatch_marginal"] = marg
+            # direct whole-program comparison at each size: the
+            # marginal is a difference of differences and can rank a
+            # program that is faster at EVERY size below the other
+            # (observed: serve <= full at both sizes yet a smaller
+            # "marginal"), so the record carries the per-size ratios
+            # explicitly
+            try:
+                diagnostics["serve_vs_full_speedup"] = {
+                    f"B{BB}": round(
+                        marg["full"][f"ms_B{BB}"]
+                        / marg["serve"][f"ms_B{BB}"], 3
+                    )
+                    for BB in (B_SMALL, B_BIG)
+                }
+            except (KeyError, ZeroDivisionError):
+                pass
             # ---- headline: the STANDALONE program's throughput -------
             # The in-loop slope measures a while-loop body XLA compiles
             # to a cheaper program than the standalone jit users run
